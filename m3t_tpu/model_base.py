@@ -1,0 +1,237 @@
+"""Sparse Viewpoint Model base machinery (redesign of m3t/src/model.cpp).
+
+Virtual cameras sit on a geodesic sphere built from an ``n_divides``-subdivided icosahedron
+(model.cpp:386-454); each view is rendered offline with the host rasterizer and reduced to
+a few hundred sampled points.  At runtime the whole model lives as HBM-resident arrays and
+per-frame view selection is an argmax-dot + gather (region_model.cpp:105-127).
+
+Models cache to ``<model_path>.npz`` keyed by a version id + parameter/body checksum;
+mismatch triggers regeneration (reference: model.h:39-41, binary save/load with version +
+checksum).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+
+from m3t_tpu.body import Body
+from m3t_tpu.common import Intrinsics
+from m3t_tpu.utils import yaml_io
+
+KMAX_N_DEPTH_OFFSETS = 30  # model.h:58
+KIMAGE_SIZE_SAFETY_BOUNDARY = 20  # model.h (renderer focal-length margin)
+KMINIMUM_CLIP_SPACE_RATIO = 0.1
+
+
+def generate_geodesic_points(n_divides: int) -> np.ndarray:
+    """Unique unit vectors of the subdivided icosahedron (model.cpp:412-454)."""
+    x = 0.525731112119133606
+    z = 0.850650808352039932
+    pts = np.array(
+        [
+            [-x, 0.0, z], [x, 0.0, z], [-x, 0.0, -z], [x, 0.0, -z],
+            [0.0, z, x], [0.0, z, -x], [0.0, -z, x], [0.0, -z, -x],
+            [z, x, 0.0], [-z, x, 0.0], [z, -x, 0.0], [-z, -x, 0.0],
+        ],
+        np.float64,
+    )
+    ids = np.array(
+        [
+            [0, 4, 1], [0, 9, 4], [9, 5, 4], [4, 5, 8], [4, 8, 1],
+            [8, 10, 1], [8, 3, 10], [5, 3, 8], [5, 2, 3], [2, 7, 3],
+            [7, 10, 3], [7, 6, 10], [7, 11, 6], [11, 0, 6], [0, 1, 6],
+            [6, 1, 10], [9, 0, 11], [9, 11, 2], [9, 2, 5], [7, 2, 11],
+        ],
+        np.int64,
+    )
+
+    out: list[np.ndarray] = []
+
+    def subdivide(v1, v2, v3, n):
+        if n == 0:
+            out.extend([v1, v2, v3])
+            return
+        v12 = (v1 + v2) / np.linalg.norm(v1 + v2)
+        v13 = (v1 + v3) / np.linalg.norm(v1 + v3)
+        v23 = (v2 + v3) / np.linalg.norm(v2 + v3)
+        subdivide(v1, v12, v13, n - 1)
+        subdivide(v2, v12, v23, n - 1)
+        subdivide(v3, v13, v23, n - 1)
+        subdivide(v12, v13, v23, n - 1)
+
+    for a, b, c in ids:
+        subdivide(pts[a], pts[b], pts[c], n_divides)
+
+    arr = np.asarray(out, np.float64)
+    arr = np.unique(np.round(arr, 9), axis=0)
+    return arr.astype(np.float32)
+
+
+def generate_geodesic_poses(n_divides: int, sphere_radius: float) -> np.ndarray:
+    """(V, 4, 4) camera2body poses looking at the body center (model.cpp:386-410)."""
+    points = generate_geodesic_points(n_divides)
+    downwards = np.array([0.0, 1.0, 0.0], np.float32)
+    poses = np.zeros((len(points), 4, 4), np.float32)
+    for i, p in enumerate(points):
+        rot = np.zeros((3, 3), np.float32)
+        rot[:, 2] = -p
+        if p[0] == 0.0 and p[2] == 0.0:
+            rot[:, 0] = [1.0, 0.0, 0.0]
+        else:
+            v = np.cross(downwards, -p)
+            rot[:, 0] = v / np.linalg.norm(v)
+        rot[:, 1] = np.cross(rot[:, 2], rot[:, 0])
+        poses[i, :3, :3] = rot
+        poses[i, :3, 3] = p * sphere_radius
+        poses[i, 3, 3] = 1.0
+    return poses
+
+
+def calculate_depth_offsets(
+    depth_image: np.ndarray,
+    center: tuple[int, int],
+    pixel_to_meter: float,
+    max_radius_depth_offset: float,
+    stride_depth_offset: float,
+) -> np.ndarray:
+    """Min-depth differences within growing radii around a point (model.cpp:338-384)."""
+    image_size_v, image_size_u = depth_image.shape
+    n_values = int(max_radius_depth_offset / stride_depth_offset + 1.0)
+    stride = stride_depth_offset / pixel_to_meter
+    max_diameter = 2.0 * n_values * stride
+
+    image_stride = int(stride + 1.0)
+    n_image_strides = int(max_diameter / image_stride + 1.0)
+    image_diameter = n_image_strides * image_stride
+    image_radius_minus = image_diameter // 2
+    image_radius_plus = image_diameter - image_radius_minus
+
+    cx, cy = center
+    v_min = max(cy - image_radius_minus, 0)
+    v_max = min(cy + image_radius_plus, image_size_v - 1)
+    u_min = max(cx - image_radius_minus, 0)
+    u_max = min(cx + image_radius_plus, image_size_u - 1)
+
+    vs = np.arange(v_min, v_max + 1, image_stride)
+    us = np.arange(u_min, u_max + 1, image_stride)
+    gu, gv = np.meshgrid(us, vs)
+    dist = np.sqrt((gu - cx) ** 2.0 + (gv - cy) ** 2.0)
+    ring = (dist / stride).astype(np.int64)
+    depths = depth_image[gv, gu]
+
+    min_values = np.full(KMAX_N_DEPTH_OFFSETS, np.inf, np.float32)
+    sel = ring < n_values
+    if sel.any():
+        np.minimum.at(min_values, ring[sel], depths[sel].astype(np.float32))
+    min_values[0] = min(min_values[0], np.float32(depth_image[cy, cx]))
+
+    depth_center = float(depth_image[cy, cx])
+    offsets = np.zeros(KMAX_N_DEPTH_OFFSETS, np.float32)
+    running = min_values[0]
+    offsets[0] = depth_center - running if np.isfinite(running) else 0.0
+    for i in range(1, KMAX_N_DEPTH_OFFSETS):
+        running = min(running, min_values[i])
+        offsets[i] = depth_center - running if np.isfinite(running) else offsets[i - 1]
+    return offsets
+
+
+class Model:
+    """Base class for RegionModel/DepthModel (reference: model.h:24-170)."""
+
+    _kVersionID = 1
+    _kModelType = "?"
+
+    def __init__(self, name: str, body_ptr: Body, model_path: str,
+                 sphere_radius: float = 0.8, n_divides: int = 4, n_points: int = 200,
+                 max_radius_depth_offset: float = 0.05, stride_depth_offset: float = 0.002,
+                 use_random_seed: bool = False, image_size: int = 2000,
+                 metafile_path: str | None = None):
+        self.name = name
+        self.metafile_path = metafile_path
+        self.body_ptr = body_ptr
+        self.model_path = str(model_path)
+        self.sphere_radius = float(sphere_radius)
+        self.n_divides = int(n_divides)
+        self.n_points = int(n_points)
+        self.max_radius_depth_offset = float(max_radius_depth_offset)
+        self.stride_depth_offset = float(stride_depth_offset)
+        self.use_random_seed = bool(use_random_seed)
+        self.image_size = int(image_size)
+        self.set_up = False
+
+    # -- setup helpers -----------------------------------------------------------------
+
+    def _load_metadata(self) -> bool:
+        fs = yaml_io.open_yaml_file_storage(self.metafile_path)
+        try:
+            model_path = yaml_io.read_required(fs, "model_path")
+            self.sphere_radius = float(
+                yaml_io.read_optional(fs, "sphere_radius", self.sphere_radius))
+            self.n_divides = int(yaml_io.read_optional(fs, "n_divides", self.n_divides))
+            self.n_points = int(yaml_io.read_optional(fs, "n_points", self.n_points))
+            self.max_radius_depth_offset = float(yaml_io.read_optional(
+                fs, "max_radius_depth_offset", self.max_radius_depth_offset))
+            self.stride_depth_offset = float(yaml_io.read_optional(
+                fs, "stride_depth_offset", self.stride_depth_offset))
+            self.use_random_seed = bool(yaml_io.read_optional(
+                fs, "use_random_seed", self.use_random_seed))
+            self.image_size = int(yaml_io.read_optional(fs, "image_size", self.image_size))
+        finally:
+            fs.release()
+        ext = ".npz" if self._kModelType == "?" else f"_{self._kModelType}model.npz"
+        self.model_path = yaml_io.resolve_path(
+            str(model_path), self.metafile_path, self.name, ext)
+        if not self.model_path.endswith(".npz"):
+            self.model_path += ".npz"
+        return True
+
+    def _model_intrinsics(self) -> Intrinsics:
+        """Virtual camera intrinsics (model.cpp:125-131)."""
+        d = self.body_ptr.maximum_body_diameter
+        focal_length = (
+            0.5 * (self.image_size - KIMAGE_SIZE_SAFETY_BOUNDARY)
+            / np.tan(np.arcsin(0.5 * d / self.sphere_radius))
+        )
+        pp = self.image_size / 2.0
+        return Intrinsics(focal_length, focal_length, pp, pp,
+                          self.image_size, self.image_size)
+
+    def _checksum(self, extra: str = "") -> str:
+        body = self.body_ptr
+        h = hashlib.sha256()
+        h.update(
+            f"{self._kVersionID}|{self._kModelType}|{self.sphere_radius}|{self.n_divides}|"
+            f"{self.n_points}|{self.max_radius_depth_offset}|{self.stride_depth_offset}|"
+            f"{self.image_size}|{extra}".encode()
+        )
+        h.update(np.ascontiguousarray(body.vertices).tobytes())
+        h.update(np.ascontiguousarray(body.triangles).tobytes())
+        h.update(np.ascontiguousarray(body.geometry2body_pose).tobytes())
+        return h.hexdigest()
+
+    def _valid_n_depth_offsets(self) -> bool:
+        n_values = int(self.max_radius_depth_offset / self.stride_depth_offset + 1.0)
+        if n_values > KMAX_N_DEPTH_OFFSETS:
+            print(f"Model {self.name}: max_radius_depth_offset/stride_depth_offset too "
+                  f"large ({n_values} > {KMAX_N_DEPTH_OFFSETS})")
+            return False
+        return True
+
+    def _try_load(self, checksum: str):
+        if not os.path.exists(self.model_path):
+            return None
+        try:
+            data = np.load(self.model_path, allow_pickle=False)
+        except Exception:
+            return None
+        if str(data.get("checksum", "")) != checksum:
+            return None
+        return data
+
+    def _save(self, checksum: str, **arrays) -> None:
+        directory = os.path.dirname(os.path.abspath(self.model_path))
+        os.makedirs(directory, exist_ok=True)
+        np.savez_compressed(self.model_path, checksum=checksum, **arrays)
