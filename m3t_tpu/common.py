@@ -59,13 +59,13 @@ def so3_exp(w):
     """Rodrigues' formula: exp of skew(w). Safe at w -> 0."""
     w = jnp.asarray(w, jnp.float32)
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2)
-    # Taylor fallbacks around zero keep this differentiable and exact in float32.
-    small = theta < 1e-6
-    s = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    c = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
-    )
+    # Taylor fallbacks around zero keep this differentiable (no sqrt(0) in either branch)
+    # and exact in float32.
+    small = theta2 < 1e-12
+    safe_theta2 = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(safe_theta2)
+    s = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    c = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_theta2)
     k = skew(w)
     # K^2 == w w^T - theta^2 I exactly; the outer product avoids matmul rounding.
     k2 = w[..., :, None] * w[..., None, :] - theta2[..., None, None] * jnp.eye(3, dtype=w.dtype)

@@ -102,20 +102,33 @@ def test_intrinsics(width: int = 160, height: int = 120) -> Intrinsics:
 def render_synthetic_color_frame(
     body: Body, intrinsics: Intrinsics, body2camera_pose: np.ndarray,
     fg_color=(160, 60, 50), bg_color=(40, 120, 190), noise_rng=None,
+    shaded: bool = True,
 ) -> np.ndarray:
-    """Rasterize the body silhouette and paint fg/bg colors (BGR uint8)."""
+    """Rasterize the body with simple Lambertian shading over a bg color (BGR uint8).
+
+    Shading spreads foreground colors over many histogram bins, matching the broad
+    histograms of real footage (a flat color produces pathological delta histograms).
+    """
     from m3t_tpu.ops.raster import rasterize_np
 
     tri = body.triangle_vertices_f_body()
     tri_cam = tri @ body2camera_pose[:3, :3].T + body2camera_pose[:3, 3]
-    _, id_img = rasterize_np(
+    _, id_img, normal = rasterize_np(
         tri_cam, np.full(len(tri), 1), intrinsics.fu, intrinsics.fv,
         intrinsics.ppu, intrinsics.ppv, intrinsics.width, intrinsics.height,
-        cull_backfaces=True,
+        cull_backfaces=True, with_normals=True,
     )
     image = np.empty((intrinsics.height, intrinsics.width, 3), np.uint8)
     image[:] = np.asarray(bg_color, np.uint8)
-    image[id_img == 1] = np.asarray(fg_color, np.uint8)
+    fg = id_img == 1
+    if shaded:
+        light = np.asarray([0.4, -0.5, -0.77])
+        lambert = np.clip(-(normal @ light), 0.0, 1.0)
+        shade = (0.55 + 0.45 * lambert)[..., None]
+        image[fg] = np.clip(np.asarray(fg_color, np.float64) * shade[fg], 0, 255
+                            ).astype(np.uint8)
+    else:
+        image[fg] = np.asarray(fg_color, np.uint8)
     if noise_rng is not None:
         noise = noise_rng.integers(-8, 9, size=image.shape)
         image = np.clip(image.astype(np.int16) + noise, 0, 255).astype(np.uint8)
