@@ -1,0 +1,273 @@
+"""RBOT dataset evaluator (redesign of M3T/examples/rbot_evaluator.{h,cpp}).
+
+Monocular region(+texture) tracking over RBOT sequences: 1000 frames/sequence, fixed
+intrinsics 650.048/647.183 @ 640x512, success = err_t < 5 cm AND err_r < 5 deg, body
+reset to ground truth on failure (which IS the metric), occlusion sequences add a second
+"squirrel_small" body (rbot_evaluator.h:39-56, cpp:180-230).
+
+Dataset layout (published RBOT format):
+  <dataset>/<body>/frames/<sequence><index:04d>.png
+  <dataset>/<body>/<body>.obj
+  <dataset>/poses_first.txt, poses_second.txt  (rows: 9 rotation + 3 translation in mm)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from m3t_tpu.body import Body
+from m3t_tpu.camera import LoaderColorCamera
+from m3t_tpu.common import Intrinsics
+from m3t_tpu.detector import StaticDetector
+from m3t_tpu.eval import metrics
+from m3t_tpu.link import Link
+from m3t_tpu.optimizer import Optimizer
+from m3t_tpu.region_modality import RegionModality
+from m3t_tpu.region_model import RegionModel
+from m3t_tpu.renderer import FocusedBasicDepthRenderer, FocusedSilhouetteRenderer
+from m3t_tpu.renderer_geometry import RendererGeometry
+from m3t_tpu.texture_modality import TextureModality
+from m3t_tpu.tracker import Tracker
+
+RBOT_INTRINSICS = Intrinsics(650.048, 647.183, 324.328 - 0.5, 257.323 - 0.5, 640, 512)
+OCCLUSION_BODY_NAME = "squirrel_small"
+
+
+def read_poses_rbot(path: str, n_frames: int) -> np.ndarray:
+    """poses_first.txt format: header line, then rows of 9 rot + 3 trans (mm)
+    (rbot_evaluator.cpp:562-585)."""
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_frames + 1, 1, 1))
+    with open(path, "r") as f:
+        f.readline()  # header
+        for i in range(n_frames + 1):
+            values = [float(v) for v in f.readline().split()]
+            poses[i, :3, :3] = np.asarray(values[:9], np.float32).reshape(3, 3)
+            poses[i, :3, 3] = np.asarray(values[9:12], np.float32) * 0.001
+    return poses
+
+
+class RBOTEvaluator:
+    def __init__(self, name: str, dataset_directory: str, external_directory: str,
+                 body_names: list[str], sequence_names: list[str],
+                 sequence_occlusions: list[bool] | None = None,
+                 n_frames: int = 1000):
+        self.name = name
+        self.dataset_directory = str(dataset_directory)
+        self.external_directory = str(external_directory)
+        self.body_names = list(body_names)
+        self.sequence_names = list(sequence_names)
+        self.sequence_occlusions = (sequence_occlusions
+                                    or [s == "d_occlusion" for s in sequence_names])
+        self.n_frames = int(n_frames)
+        self.translation_error_threshold = 0.05
+        self.rotation_error_threshold = 5.0 * np.pi / 180.0
+        self.visualize_tracking = False
+        self.use_shared_color_histograms = False
+        self.use_region_checking = False
+        self.use_texture_modality = False
+        self.model_occlusions = False
+        # Callables to tweak object parameters before SetUp (mirrors *_setter_ hooks).
+        self.tracker_setter = lambda tracker: None
+        self.region_modality_setter = lambda modality: None
+        self.region_model_setter = lambda model: None
+        self.texture_modality_setter = lambda modality: None
+        self.intrinsics = RBOT_INTRINSICS
+        self.results: dict = {}
+        self.set_up = False
+
+    def SetUp(self) -> bool:  # noqa: N802
+        self.poses_gt_first = read_poses_rbot(
+            os.path.join(self.dataset_directory, "poses_first.txt"), self.n_frames)
+        occlusions_used = any(self.sequence_occlusions)
+        self.poses_gt_second = (
+            read_poses_rbot(os.path.join(self.dataset_directory, "poses_second.txt"),
+                            self.n_frames)
+            if occlusions_used else None)
+        self.set_up = True
+        return True
+
+    # -- per-run setup (rbot_evaluator.cpp:213-330) ------------------------------------
+
+    def _make_body(self, body_name: str) -> Body:
+        body = Body(
+            body_name,
+            geometry_path=os.path.join(self.dataset_directory, body_name,
+                                       f"{body_name}.obj"),
+            geometry_unit_in_meter=0.001, geometry_counterclockwise=True,
+            geometry_enable_culling=False)
+        if not body.SetUp():
+            raise RuntimeError(f"Could not set up body {body_name}")
+        return body
+
+    def _make_model(self, body: Body) -> RegionModel:
+        model = RegionModel(
+            f"{body.name}_model", body,
+            os.path.join(self.external_directory, f"{body.name}_model.npz"),
+            sphere_radius=0.8, n_divides=4, n_points=200,
+            max_radius_depth_offset=0.01, stride_depth_offset=0.002,
+            image_size=2000)
+        self.region_model_setter(model)
+        if not model.SetUp():
+            raise RuntimeError(f"Could not set up model for {body.name}")
+        return model
+
+    def _setup_tracker(self, sequence_name: str, body_name: str, occlusions: bool,
+                       models: dict):
+        camera = LoaderColorCamera(
+            "camera",
+            load_directory=os.path.join(self.dataset_directory, body_name, "frames"),
+            intrinsics=self.intrinsics, image_name_pre=sequence_name,
+            load_index=0, n_leading_zeros=4)
+        if not camera.SetUp():
+            raise RuntimeError("Could not set up camera")
+
+        body = self._make_body(body_name)
+        rg = RendererGeometry("renderer_geometry")
+        rg.AddBody(body)
+        occlusion_body = None
+        if occlusions:
+            occlusion_body = self._make_body(OCCLUSION_BODY_NAME)
+            rg.AddBody(occlusion_body)
+        rg.SetUp()
+
+        silhouette_renderer = FocusedSilhouetteRenderer("silhouette_renderer", rg,
+                                                        camera)
+        silhouette_renderer.AddReferencedBody(body)
+        if occlusions:
+            silhouette_renderer.AddReferencedBody(occlusion_body)
+        silhouette_renderer.SetUp()
+        depth_renderer = None
+        if occlusions and self.model_occlusions:
+            depth_renderer = FocusedBasicDepthRenderer("depth_renderer", rg, camera)
+            depth_renderer.AddReferencedBody(body)
+            depth_renderer.AddReferencedBody(occlusion_body)
+            depth_renderer.SetUp()
+
+        def build_link(b: Body) -> Link:
+            modality = RegionModality(f"{b.name}_region_modality", b, camera,
+                                      models[b.name])
+            self.region_modality_setter(modality)
+            if occlusions and self.model_occlusions and depth_renderer is not None:
+                modality.ModelOcclusions(depth_renderer)
+            link = Link(f"{b.name}_link", b)
+            link.AddModality(modality)
+            if self.use_texture_modality:
+                texture_modality = TextureModality(
+                    f"{b.name}_texture_modality", b, camera, silhouette_renderer)
+                self.texture_modality_setter(texture_modality)
+                link.AddModality(texture_modality)
+            return link
+
+        tracker = Tracker("tracker", synchronize_cameras=False)
+        optimizers = {}
+        for b in [body] + ([occlusion_body] if occlusions else []):
+            link = build_link(b)
+            optimizer = Optimizer(f"{b.name}_optimizer", link)
+            detector = StaticDetector(f"{b.name}_detector", optimizer)
+            tracker.AddOptimizer(optimizer)
+            tracker.AddDetector(detector)
+            optimizers[b.name] = (optimizer, detector)
+        self.tracker_setter(tracker)
+        if not tracker.SetUp():
+            raise RuntimeError("Could not set up tracker")
+        return tracker, body, occlusion_body, optimizers, camera
+
+    def _reset_body(self, tracker, optimizers, body_name: str, poses_gt, frame: int):
+        optimizer, detector = optimizers[body_name]
+        detector.link2world_pose = poses_gt[frame]
+        detector.DetectPoses({optimizer.name}, set())
+        tracker.StartModalities(frame)
+
+    # -- evaluation (cpp:140-210) ------------------------------------------------------
+
+    def Evaluate(self) -> dict:  # noqa: N802
+        if not self.set_up:
+            self.SetUp()
+        results = {}
+        # Precompute models once per body.
+        bodies = {name: self._make_body(name) for name in set(
+            self.body_names + ([OCCLUSION_BODY_NAME]
+                               if any(self.sequence_occlusions) else []))}
+        models = {name: self._make_model(body) for name, body in bodies.items()}
+
+        for sequence_name, occlusions in zip(self.sequence_names,
+                                             self.sequence_occlusions):
+            for body_name in self.body_names:
+                result = self._evaluate_sequence(sequence_name, body_name,
+                                                 occlusions, models)
+                results[(sequence_name, body_name)] = result
+                print(f"{sequence_name} {body_name}: "
+                      f"success = {result['tracking_success']:.4f}")
+        success = float(np.mean([r["tracking_success"] for r in results.values()]))
+        mean_time = float(np.mean([r["mean_cycle_time_s"] for r in results.values()]))
+        self.results = {"per_run": results, "tracking_success": success,
+                        "mean_cycle_time_s": mean_time}
+        print(f"RBOT average tracking success: {success:.4f}")
+        return self.results
+
+    def _evaluate_sequence(self, sequence_name: str, body_name: str,
+                           occlusions: bool, models: dict) -> dict:
+        tracker, body, occlusion_body, optimizers, camera = self._setup_tracker(
+            sequence_name, body_name, occlusions, models)
+        tracker.names_tracking = set(tracker.names_all)
+        tracker._assemble_internally_used_object_ptrs()
+
+        # Initialize to GT for frame 0 and start modalities.
+        self._reset_body(tracker, optimizers, body_name, self.poses_gt_first, 0)
+        if occlusions:
+            self._reset_body(tracker, optimizers, OCCLUSION_BODY_NAME,
+                             self.poses_gt_second, 0)
+
+        successes = []
+        translation_errors = []
+        rotation_errors = []
+        cycle_times = []
+        for i in range(self.n_frames):
+            if not tracker.UpdateCameras(i):
+                break
+            begin = time.perf_counter()
+            tracker.ExecuteTrackingStep(i)
+            cycle_times.append(time.perf_counter() - begin)
+
+            pose_gt = self.poses_gt_first[i + 1]
+            pose = body.body2world_pose
+            t_err = metrics.translation_error(pose, pose_gt)
+            r_err = metrics.rotation_error(pose, pose_gt)
+            success = (t_err <= self.translation_error_threshold
+                       and r_err <= self.rotation_error_threshold)
+            successes.append(float(success))
+            translation_errors.append(t_err)
+            rotation_errors.append(r_err)
+            if not success:
+                # Reset to ground truth on failure (the RBOT protocol, cpp:199).
+                self._reset_body(tracker, optimizers, body_name,
+                                 self.poses_gt_first, i + 1)
+            if occlusions:
+                occ_success = metrics.tracking_success(
+                    occlusion_body.body2world_pose, self.poses_gt_second[i + 1],
+                    self.translation_error_threshold, self.rotation_error_threshold)
+                if not occ_success:
+                    self._reset_body(tracker, optimizers, OCCLUSION_BODY_NAME,
+                                     self.poses_gt_second, i + 1)
+
+        return {
+            "tracking_success": float(np.mean(successes)) if successes else 0.0,
+            "mean_translation_error": float(np.mean(translation_errors)),
+            "mean_rotation_error": float(np.mean(rotation_errors)),
+            "mean_cycle_time_s": float(np.mean(cycle_times)),
+            "n_frames": len(successes),
+        }
+
+    def SaveResults(self, path: str) -> None:  # noqa: N802
+        import json
+
+        with open(path, "w") as f:
+            serializable = {
+                f"{seq}/{body}": r
+                for (seq, body), r in self.results.get("per_run", {}).items()
+            }
+            serializable["tracking_success"] = self.results.get("tracking_success")
+            json.dump(serializable, f, indent=2)

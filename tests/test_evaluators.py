@@ -1,0 +1,137 @@
+"""Evaluator tests: metric unit tests + RBOT evaluator on a synthetic mini-dataset."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from m3t_tpu.eval import metrics
+from m3t_tpu.utils.obj_loader import save_obj
+from tests import fixtures
+
+
+def test_translation_rotation_errors():
+    from m3t_tpu.common import np_pose
+    from m3t_tpu.link import np_pose_variation
+
+    gt = np_pose(translation=[0.1, 0.2, 0.5])
+    np.testing.assert_allclose(metrics.translation_error(gt, gt), 0.0, atol=1e-7)
+    np.testing.assert_allclose(metrics.rotation_error(gt, gt), 0.0, atol=1e-3)
+
+    moved = gt.copy()
+    moved[0, 3] += 0.03
+    assert abs(metrics.translation_error(moved, gt) - 0.03) < 1e-6
+    assert metrics.tracking_success(moved, gt)
+    moved[0, 3] += 0.05
+    assert not metrics.tracking_success(moved, gt)
+
+    rotated = gt @ np_pose_variation(np.array([0.1, 0, 0, 0, 0, 0], np.float32))
+    assert abs(metrics.rotation_error(rotated, gt) - 0.1) < 1e-4
+    assert not metrics.tracking_success(rotated, gt)  # 0.1 rad > 5 deg
+
+
+def test_add_adds_errors(rng):
+    verts = rng.normal(size=(200, 3)).astype(np.float32) * 0.05
+    gt = np.eye(4, dtype=np.float32)
+    est = gt.copy()
+    est[0, 3] = 0.01
+    add = metrics.add_error(verts, est, gt)
+    np.testing.assert_allclose(add, 0.01, rtol=1e-4)
+    # ADD-S <= ADD always.
+    adds = metrics.adds_error(verts, est, gt)
+    assert adds <= add + 1e-6
+    # Symmetric object: rotation about symmetry axis -> ADD large, ADD-S small.
+    theta = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+    ring = np.stack([0.05 * np.cos(theta), 0.05 * np.sin(theta),
+                     np.zeros(100)], 1).astype(np.float32)
+    rot = np.eye(4, dtype=np.float32)
+    ang = np.pi / 4
+    rot[:2, :2] = [[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]]
+    add_ring = metrics.add_error(ring, rot, np.eye(4, dtype=np.float32))
+    adds_ring = metrics.adds_error(ring, rot, np.eye(4, dtype=np.float32))
+    assert add_ring > 0.01
+    # bounded by half the ring's vertex spacing (2*pi*0.05/100 / 2)
+    assert adds_ring < 0.002
+
+
+def test_auc_and_curves():
+    assert metrics.auc_from_error(0.0) == 1.0
+    assert metrics.auc_from_error(0.05) == 0.5
+    assert metrics.auc_from_error(0.2) == 0.0
+    curve = metrics.error_curve(0.05, 0.1, 100)
+    assert curve.sum() == 50  # thresholds above 0.05 succeed
+    opt = metrics.opt_curve(0.0101, diameter=0.2, n_curve_values=100,
+                            threshold_max=0.2)
+    # error < diameter * t  <=>  t > 0.0505 -> 75 of 100 thresholds
+    assert opt.sum() == 75
+
+
+def test_choi_errors():
+    from m3t_tpu.common import np_pose
+
+    gt = np_pose(translation=[0, 0, 0.5])
+    est = np_pose(translation=[0.001, -0.002, 0.503])
+    e = metrics.choi_errors(est, gt)
+    np.testing.assert_allclose(e["error_x"], 1.0, atol=1e-3)
+    np.testing.assert_allclose(e["error_y"], -2.0, atol=1e-3)
+    np.testing.assert_allclose(e["error_z"], 3.0, atol=1e-3)
+    assert metrics.rmse([3.0, 4.0]) == pytest.approx(np.sqrt(12.5))
+
+
+@pytest.mark.slow
+def test_rbot_evaluator_on_synthetic_mini_dataset(tmp_path):
+    """Build a 6-frame synthetic dataset in RBOT layout and run the real evaluator."""
+    from m3t_tpu.eval.rbot_evaluator import RBOTEvaluator
+
+    body = fixtures.sphere_body("ball", radius=0.06, n_subdiv=2)
+    intr = fixtures.test_intrinsics(160, 120)
+    n_frames = 6
+
+    body_dir = tmp_path / "ball"
+    frames_dir = body_dir / "frames"
+    os.makedirs(frames_dir)
+    # Mesh in mm to exercise geometry_unit_in_meter=0.001 like RBOT.
+    save_obj(str(body_dir / "ball.obj"), body.vertices * 1000.0, body.triangles)
+
+    rng = np.random.default_rng(4)
+    poses = []
+    with open(tmp_path / "poses_first.txt", "w") as f:
+        f.write("# R11 R12 R13 R21 R22 R23 R31 R32 R33 tx ty tz\n")
+        for i in range(n_frames + 1):
+            pose = np.eye(4, dtype=np.float32)
+            pose[0, 3] = 0.002 * i
+            pose[2, 3] = 0.6
+            poses.append(pose)
+            row = list(pose[:3, :3].reshape(-1)) + list(pose[:3, 3] * 1000.0)
+            f.write("\t".join(f"{v:.6f}" for v in row) + "\t")
+            f.write("\n")
+    for i in range(n_frames):
+        image = fixtures.render_synthetic_color_frame(body, intr, poses[i],
+                                                      noise_rng=rng)
+        cv2.imwrite(str(frames_dir / f"a_regular{i:04d}.png"), image)
+
+    evaluator = RBOTEvaluator("eval", str(tmp_path), str(tmp_path),
+                              body_names=["ball"], sequence_names=["a_regular"],
+                              sequence_occlusions=[False], n_frames=n_frames)
+    evaluator.intrinsics = intr
+
+    def model_setter(model):
+        model.n_divides = 1
+        model.n_points = 100
+        model.image_size = 400
+
+    def modality_setter(modality):
+        modality.n_lines_max = 100
+        modality.scales = [2, 1]
+        modality.standard_deviations = [5.0, 1.5]
+
+    evaluator.region_model_setter = model_setter
+    evaluator.region_modality_setter = modality_setter
+
+    results = evaluator.Evaluate()
+    run = results["per_run"][("a_regular", "ball")]
+    assert run["n_frames"] == n_frames
+    # Synthetic noise-free-ish sequence: tracking must succeed on every frame.
+    assert results["tracking_success"] == 1.0, results
+    assert run["mean_translation_error"] < 0.01
