@@ -198,13 +198,21 @@ def rasterize_np(
     cull_backfaces=False,
     z_min: float = 1e-3,
     with_normals: bool = False,
+    use_native: bool = True,
 ):
     """Scanline/bbox z-buffer rasterizer on host; exact same math as :func:`rasterize`.
 
     Used for sparse-viewpoint-model generation (reference renders these views with OpenGL,
     m3t/src/region_model.cpp:187-257).  Iterates triangles, touching only bbox pixels, so it
     handles large meshes at image_size=2000 without the dense pixel-triangle product.
+    Dispatches to the native C++ implementation (m3t_tpu/native/rasterizer.cpp) when
+    available; the numpy path is the exact reference twin used in tests.
     """
+    if use_native:
+        result = _rasterize_native(tri_verts_cam, ids, fu, fv, ppu, ppv, width,
+                                   height, cull_backfaces, z_min, with_normals)
+        if result is not None:
+            return result
     v = np.asarray(tri_verts_cam, np.float64)
     ids = np.asarray(ids)
     n_tri = v.shape[0]
@@ -264,6 +272,37 @@ def rasterize_np(
         if with_normals:
             normal_img[vmin : vmax + 1, umin : umax + 1][closer] = nrm[t]
 
+    if with_normals:
+        return depth, id_img, normal_img
+    return depth, id_img
+
+
+def _rasterize_native(tri_verts_cam, ids, fu, fv, ppu, ppv, width, height,
+                      cull_backfaces, z_min, with_normals):
+    """Dispatch to the ctypes rasterizer; returns None if the library is unavailable."""
+    import ctypes
+
+    from m3t_tpu.native import rasterizer_library
+
+    lib = rasterizer_library()
+    if lib is None:
+        return None
+    tri = np.ascontiguousarray(tri_verts_cam, np.float32).reshape(-1, 9)
+    n_tri = len(tri)
+    ids_arr = np.ascontiguousarray(np.asarray(ids, np.int32))
+    culls = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(cull_backfaces, bool), (n_tri,)).astype(np.uint8))
+    depth = np.full((height, width), np.inf, np.float32)
+    id_img = np.zeros((height, width), np.int32)
+    normal_img = (np.zeros((height, width, 3), np.float32) if with_normals else None)
+    lib.rasterize_soup(
+        tri.ctypes.data_as(ctypes.c_void_p), ids_arr.ctypes.data_as(ctypes.c_void_p),
+        culls.ctypes.data_as(ctypes.c_void_p), n_tri,
+        np.float32(fu), np.float32(fv), np.float32(ppu), np.float32(ppv),
+        width, height, np.float32(z_min),
+        depth.ctypes.data_as(ctypes.c_void_p), id_img.ctypes.data_as(ctypes.c_void_p),
+        normal_img.ctypes.data_as(ctypes.c_void_p) if with_normals else None,
+    )
     if with_normals:
         return depth, id_img, normal_img
     return depth, id_img
