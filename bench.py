@@ -20,11 +20,12 @@ def main() -> None:
     import jax
 
     sys.path.insert(0, ".")
-    import __graft_entry__ as ge
     from m3t_tpu import pipeline
     from m3t_tpu.ops.region_fn import RegionConfig
 
-    n_bodies = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mode = "rgbd" if "--rgbd" in sys.argv else "region"
+    n_bodies = int(args[0]) if args else 512
     width, height = 640, 512
     n_lines = 200
 
@@ -35,6 +36,7 @@ def main() -> None:
         cfg=RegionConfig(n_lines_max=n_lines),
         scales=(6, 4, 2, 1), standard_deviations=(15.0, 5.0, 3.5, 1.5),
         n_corr_iterations=5, n_update_iterations=2,
+        use_depth=(mode == "rgbd"),
     )
     intr = (np.float32(520.0), np.float32(520.0),
             np.float32(width / 2 - 0.5), np.float32(height / 2 - 0.5))
@@ -66,16 +68,49 @@ def main() -> None:
         histogram_b=jnp.full((n_bodies, nbins), 1.0 / nbins, jnp.float32),
     )
 
+    if mode == "rgbd":
+        # ICG configuration: 200 depth points, coarse-to-fine considered distances.
+        pcfg = pcfg._replace(depth_cfg=pcfg.depth_cfg._replace(n_points_max=200))
+        depth_images = jnp.asarray(
+            rng.integers(100, 60000, size=(n_bodies, height, width)), jnp.uint16)
+        ang_d = rng.uniform(0, 2 * np.pi, size=(n_bodies, V, L))
+        centers_d = np.stack(
+            [r * np.cos(ang_d), r * np.sin(ang_d), np.zeros_like(ang_d)], -1)
+        depth_model = pipeline.DepthModelArrays(
+            orientations=model.orientations,
+            centers=jnp.asarray(centers_d, jnp.float32),
+            normals=jnp.asarray(
+                centers_d / np.maximum(np.linalg.norm(centers_d, axis=-1,
+                                                      keepdims=True), 1e-6),
+                jnp.float32),
+            measured_depth_offsets=jnp.zeros((n_bodies, V, L), jnp.float32),
+            modeled_depth_offsets=jnp.zeros((n_bodies, V, L), jnp.float32),
+        )
+
+        def run_cycle(state):
+            return pipeline.tracking_cycle_rgbd(
+                pcfg, intr, intr, jnp.float32(0.001), images, depth_images,
+                model, depth_model, state)
+
+        label = (f"body-frames/s per chip, region+depth (ICG) cycle "
+                 f"(B={n_bodies}, 640x512, 200 lines + 200 points, 5x2 iters)")
+    else:
+        def run_cycle(state):
+            return pipeline.tracking_cycle(pcfg, intr, images, model, state)
+
+        label = (f"body-frames/s per chip, region tracking cycle "
+                 f"(B={n_bodies}, 640x512, 200 lines, 5x2 iters)")
+
     # Warmup / compile.
-    state = pipeline.tracking_cycle(pcfg, intr, images, model, state)
+    state = run_cycle(state)
     jax.block_until_ready(state)
-    state = pipeline.tracking_cycle(pcfg, intr, images, model, state)
+    state = run_cycle(state)
     jax.block_until_ready(state)
 
     n_iters = 30
     begin = time.perf_counter()
     for _ in range(n_iters):
-        state = pipeline.tracking_cycle(pcfg, intr, images, model, state)
+        state = run_cycle(state)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - begin
 
@@ -83,8 +118,7 @@ def main() -> None:
     body_frames_per_s = cycles_per_s * n_bodies
     baseline = 770.0  # fps/object, single CPU core (ICG readme abstract)
     print(json.dumps({
-        "metric": f"body-frames/s per chip, region tracking cycle "
-                  f"(B={n_bodies}, 640x512, 200 lines, 5x2 iters)",
+        "metric": label,
         "value": round(body_frames_per_s, 1),
         "unit": "body-frames/s",
         "vs_baseline": round(body_frames_per_s / baseline, 3),

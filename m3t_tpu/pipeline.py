@@ -24,8 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from m3t_tpu.common import pose_variation
+from m3t_tpu.ops import depth_fn
 from m3t_tpu.ops import histogram as hist_ops
 from m3t_tpu.ops import region_fn
+from m3t_tpu.ops.depth_fn import DepthConfig, DepthViewPoints
 from m3t_tpu.ops.region_fn import RegionConfig, ViewPoints
 
 
@@ -66,6 +68,40 @@ class RegionModelArrays(NamedTuple):
         )
 
 
+class DepthModelArrays(NamedTuple):
+    """Stacked depth sparse-viewpoint model for a batch of bodies."""
+
+    orientations: jnp.ndarray  # (B, V, 3)
+    centers: jnp.ndarray  # (B, V, P, 3)
+    normals: jnp.ndarray  # (B, V, P, 3)
+    measured_depth_offsets: jnp.ndarray  # (B, V, P)
+    modeled_depth_offsets: jnp.ndarray  # (B, V, P)
+
+    @staticmethod
+    def from_models(models, n_points: int, measured_offset_id: int = 5,
+                    modeled_offset_id: int = 5) -> "DepthModelArrays":
+        v_max = max(m.orientations.shape[0] for m in models)
+
+        def pad(a):
+            out = np.zeros((v_max,) + a.shape[1:], a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        return DepthModelArrays(
+            orientations=jnp.asarray(np.stack([pad(m.orientations) for m in models])),
+            centers=jnp.asarray(np.stack([pad(m.centers[:, :n_points])
+                                          for m in models])),
+            normals=jnp.asarray(np.stack([pad(m.normals[:, :n_points])
+                                          for m in models])),
+            measured_depth_offsets=jnp.asarray(np.stack(
+                [pad(m.depth_offsets[:, :n_points, measured_offset_id])
+                 for m in models])),
+            modeled_depth_offsets=jnp.asarray(np.stack(
+                [pad(m.depth_offsets[:, :n_points, modeled_offset_id])
+                 for m in models])),
+        )
+
+
 class TrackingState(NamedTuple):
     """Per-body mutable tracking state carried frame to frame."""
 
@@ -84,12 +120,24 @@ class PipelineConfig(NamedTuple):
     tikhonov_translation: float = 30000.0
     learning_rate_f: float = 0.2
     learning_rate_b: float = 0.2
+    # ICG-style depth fusion (used when depth images + a depth model are provided).
+    use_depth: bool = False
+    depth_cfg: DepthConfig = DepthConfig()
+    considered_distances: tuple = (0.05, 0.02, 0.01)
+    depth_standard_deviations: tuple = (0.05, 0.03, 0.02)
 
     def iteration_scale(self, corr_iteration: int):
         scale = self.scales[min(corr_iteration, len(self.scales) - 1)]
         std = self.standard_deviations[
             min(corr_iteration, len(self.standard_deviations) - 1)]
         return int(scale), float(std)
+
+    def iteration_depth(self, corr_iteration: int):
+        cd = self.considered_distances[
+            min(corr_iteration, len(self.considered_distances) - 1)]
+        std = self.depth_standard_deviations[
+            min(corr_iteration, len(self.depth_standard_deviations) - 1)]
+        return float(cd), float(std)
 
 
 def _select_view(model: RegionModelArrays, pose) -> ViewPoints:
@@ -108,8 +156,22 @@ def _select_view(model: RegionModelArrays, pose) -> ViewPoints:
     )
 
 
+def _select_depth_view(model: DepthModelArrays, pose) -> DepthViewPoints:
+    t = pose[:3, 3]
+    norm = jnp.linalg.norm(t)
+    orientation = pose[:3, :3].T @ (t / jnp.where(norm > 0, norm, 1.0))
+    idx = jnp.argmax(model.orientations @ orientation)
+    return DepthViewPoints(
+        center_f_body=model.centers[idx],
+        normal_f_body=model.normals[idx],
+        measured_depth_offset=model.measured_depth_offsets[idx],
+        modeled_depth_offset=model.modeled_depth_offsets[idx],
+    )
+
+
 def _single_body_cycle(pcfg: PipelineConfig, intr, image, model_b: RegionModelArrays,
-                       pose, hist_f, hist_b):
+                       pose, hist_f, hist_b, depth_image=None, depth_model_b=None,
+                       depth_intr=None, depth_scale=None):
     """Full tracking cycle for ONE body (vmapped over the batch)."""
     cfg = pcfg.cfg
     fu, fv, ppu, ppv = intr
@@ -117,6 +179,7 @@ def _single_body_cycle(pcfg: PipelineConfig, intr, image, model_b: RegionModelAr
     height = image.shape[0]
     n_lines = jnp.int32(cfg.n_lines_max)
     lookup_f, lookup_b = cfg.function_lookups()
+    use_depth = pcfg.use_depth and depth_image is not None
 
     for corr_iteration in range(pcfg.n_corr_iterations):
         scale, std = pcfg.iteration_scale(corr_iteration)
@@ -126,11 +189,25 @@ def _single_body_cycle(pcfg: PipelineConfig, intr, image, model_b: RegionModelAr
             fu, fv, ppu, ppv, width, height, jnp.asarray(True),
             function_lookup_f=lookup_f, function_lookup_b=lookup_b,
         )
+        if use_depth:
+            cd, depth_std = pcfg.iteration_depth(corr_iteration)
+            dfu, dfv, dppu, dppv = depth_intr
+            depth_points = depth_fn.calculate_correspondences(
+                pcfg.depth_cfg, cd, _select_depth_view(depth_model_b, pose),
+                jnp.int32(pcfg.depth_cfg.n_points_max), pose, depth_image,
+                dfu, dfv, dppu, dppv, depth_image.shape[1], depth_image.shape[0],
+                depth_scale, jnp.asarray(True),
+            )
         for update_iteration in range(pcfg.n_update_iterations):
             gradient, hessian = region_fn.calculate_gradient_and_hessian(
                 cfg, lines, pose, fu, fv, ppu, ppv, std,
                 update_iteration < cfg.n_global_iterations,
             )
+            if use_depth:
+                dg, dh = depth_fn.calculate_gradient_and_hessian(
+                    depth_points, pose, depth_std)
+                gradient = gradient + dg
+                hessian = hessian + dh
             tikhonov = jnp.diag(jnp.asarray(
                 [pcfg.tikhonov_rotation] * 3 + [pcfg.tikhonov_translation] * 3,
                 jnp.float32))
@@ -162,6 +239,26 @@ def tracking_cycle(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
     pose, hist_f, hist_b = jax.vmap(
         lambda img, mdl, p, hf, hb: _single_body_cycle(pcfg, intr, img, mdl, p, hf, hb)
     )(images, model, state.body2camera_pose, state.histogram_f, state.histogram_b)
+    return TrackingState(pose, hist_f, hist_b)
+
+
+@functools.partial(jax.jit, static_argnames=("pcfg",))
+def tracking_cycle_rgbd(pcfg: PipelineConfig, intr, depth_intr, depth_scale, images,
+                        depth_images, model: RegionModelArrays,
+                        depth_model: DepthModelArrays,
+                        state: TrackingState) -> TrackingState:
+    """ICG-style region+depth fused cycle for a batch of bodies.
+
+    images (B, H, W, 3) uint8; depth_images (B, Hd, Wd) uint16 with shared depth
+    camera intrinsics/scale (the reference's ICG configuration, ICG/readme.md:51-73).
+    """
+    pose, hist_f, hist_b = jax.vmap(
+        lambda img, dimg, mdl, dmdl, p, hf, hb: _single_body_cycle(
+            pcfg, intr, img, mdl, p, hf, hb,
+            depth_image=dimg, depth_model_b=dmdl, depth_intr=depth_intr,
+            depth_scale=depth_scale)
+    )(images, depth_images, model, depth_model, state.body2camera_pose,
+      state.histogram_f, state.histogram_b)
     return TrackingState(pose, hist_f, hist_b)
 
 
