@@ -355,6 +355,26 @@ class Tracker:
     def UpdateViewers(self, iteration: int) -> bool:  # noqa: N802
         for viewer in self.viewer_ptrs:
             viewer.UpdateViewer(iteration)
+        # Keyboard control mirrors the reference (tracker.cpp:378-389): d = detect,
+        # x = detect + track, t = track, s = stop, q = quit.
+        if self.viewer_ptrs and any(getattr(v, "display_images", False)
+                                    for v in self.viewer_ptrs):
+            try:
+                import cv2
+
+                key = cv2.waitKey(self.viewer_time)
+            except Exception:
+                return True
+            if key == ord("d"):
+                self.ExecuteDetection(False)
+            elif key == ord("x"):
+                self.ExecuteDetection(True)
+            elif key == ord("t"):
+                self.StartTracking()
+            elif key == ord("s"):
+                self.StopTracking()
+            elif key == ord("q"):
+                self.quit_tracker_process = True
         return True
 
     def CalculateConsistentPoses(self) -> bool:  # noqa: N802
