@@ -36,6 +36,9 @@ def test_native_is_faster_for_large_meshes():
     kwargs = dict(fu=2000.0, fv=2000.0, ppu=999.5, ppv=999.5, width=2000, height=2000,
                   cull_backfaces=True)
 
+    # Warm up: the first native call may pay the one-time g++ build of the .so.
+    raster.rasterize_np(tri_cam, ids, use_native=True, **kwargs)
+
     begin = time.perf_counter()
     raster.rasterize_np(tri_cam, ids, use_native=True, **kwargs)
     native_t = time.perf_counter() - begin
