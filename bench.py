@@ -101,17 +101,20 @@ def main() -> None:
         label = (f"body-frames/s per chip, region tracking cycle "
                  f"(B={n_bodies}, 640x512, 200 lines, 5x2 iters)")
 
-    # Warmup / compile.
+    # Warmup / compile.  Force a device->host transfer to synchronize: on the tunneled
+    # axon platform block_until_ready alone has been observed to return before the
+    # computation finishes, producing dispatch-rate numbers ~1000x too optimistic.
     state = run_cycle(state)
-    jax.block_until_ready(state)
+    np.asarray(state.body2camera_pose)
     state = run_cycle(state)
-    jax.block_until_ready(state)
+    np.asarray(state.body2camera_pose)
 
-    n_iters = 30
+    n_iters = 5
     begin = time.perf_counter()
     for _ in range(n_iters):
         state = run_cycle(state)
     jax.block_until_ready(state)
+    np.asarray(state.body2camera_pose)
     elapsed = time.perf_counter() - begin
 
     cycles_per_s = n_iters / elapsed
