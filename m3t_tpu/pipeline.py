@@ -6,9 +6,15 @@ whole tracking cycle (all correspondence iterations x update iterations, histogr
 adaptation included) for a BATCH of independent bodies/sequences, optionally fused over
 multiple cameras per body with a gradient/Hessian reduction across the camera mesh axis.
 
-Everything is fixed-shape: view selection is an on-device argmax-gather over the
-HBM-resident sparse viewpoint model (region_model.cpp:105-127), line rejection is masking,
-and the per-structure Newton solve is a batched 6x6 (or DoF x DoF) linear solve.
+Hot-path structure (see ops/region_fast.py for the kernels):
+  1. per body: crop the image once around the projected body center, convert to flat
+     histogram-bin indices (+ transposed copy) — XLA dynamic slices and vector ops.
+  2. per correspondence iteration: project model points / staircase parameters in XLA
+     (lane-major), fetch per-line probability samples with a Pallas dynamic-gather
+     kernel, reduce to distributions/moments in XLA.
+  3. per update iteration: lane-major gradient/Hessian einsums + batched 6x6 solve.
+  4. histogram adaptation: Pallas staircase walk for fg/bg pixel bins + factored
+     one-hot binning on the MXU.
 
 Reference mapping: one call == Tracker::ExecuteTrackingStep + CalculateResults
 (tracker.cpp:344-364) for every tracked body at once.
@@ -26,17 +32,22 @@ import numpy as np
 from m3t_tpu.common import pose_variation
 from m3t_tpu.ops import depth_fn
 from m3t_tpu.ops import histogram as hist_ops
-from m3t_tpu.ops import region_fn
+from m3t_tpu.ops import region_fast
 from m3t_tpu.ops.depth_fn import DepthConfig, DepthViewPoints
-from m3t_tpu.ops.region_fn import RegionConfig, ViewPoints
+from m3t_tpu.ops.region_fast import ViewPointsCL
+from m3t_tpu.ops.region_fn import RegionConfig
 
 
 class RegionModelArrays(NamedTuple):
-    """Stacked sparse-viewpoint model for a batch of bodies (HBM-resident)."""
+    """Stacked sparse-viewpoint model for a batch of bodies (HBM-resident).
+
+    Point data is channel-major ((V, 3, L)) so per-line math runs with lines in the
+    TPU lane dimension (region_fast.py docstring).
+    """
 
     orientations: jnp.ndarray  # (B, V, 3)
-    centers: jnp.ndarray  # (B, V, L, 3)
-    normals: jnp.ndarray  # (B, V, L, 3)
+    centers: jnp.ndarray  # (B, V, 3, L)
+    normals: jnp.ndarray  # (B, V, 3, L)
     foreground_distances: jnp.ndarray  # (B, V, L)
     background_distances: jnp.ndarray  # (B, V, L)
     measured_depth_offsets: jnp.ndarray  # (B, V, L)
@@ -53,10 +64,15 @@ class RegionModelArrays(NamedTuple):
             out[: a.shape[0]] = a
             return out
 
+        def cl(a):  # (V, L, 3) -> (V, 3, L)
+            return np.swapaxes(a, -1, -2)
+
         return RegionModelArrays(
             orientations=jnp.asarray(np.stack([pad(m.orientations) for m in models])),
-            centers=jnp.asarray(np.stack([pad(m.centers[:, :n_lines]) for m in models])),
-            normals=jnp.asarray(np.stack([pad(m.normals[:, :n_lines]) for m in models])),
+            centers=jnp.asarray(
+                np.stack([pad(cl(m.centers[:, :n_lines])) for m in models])),
+            normals=jnp.asarray(
+                np.stack([pad(cl(m.normals[:, :n_lines])) for m in models])),
             foreground_distances=jnp.asarray(
                 np.stack([pad(m.foreground_distances[:, :n_lines]) for m in models])),
             background_distances=jnp.asarray(
@@ -120,6 +136,7 @@ class PipelineConfig(NamedTuple):
     tikhonov_translation: float = 30000.0
     learning_rate_f: float = 0.2
     learning_rate_b: float = 0.2
+    crop_size: int = 256  # focused-crop side; must be a multiple of 128
     # ICG-style depth fusion (used when depth images + a depth model are provided).
     use_depth: bool = False
     depth_cfg: DepthConfig = DepthConfig()
@@ -139,20 +156,23 @@ class PipelineConfig(NamedTuple):
             min(corr_iteration, len(self.depth_standard_deviations) - 1)]
         return float(cd), float(std)
 
+    @property
+    def lp(self) -> int:
+        return region_fast.round_up(max(self.cfg.n_lines_max, 1), 128)
 
-def _select_view(model: RegionModelArrays, pose) -> ViewPoints:
-    """On-device GetClosestView for one body: argmax dot + gather."""
+
+def _select_view_cl(model: RegionModelArrays, pose) -> ViewPointsCL:
+    """On-device GetClosestView for one body: argmax dot + gather
+    (region_model.cpp:105-127)."""
     t = pose[:3, 3]
     norm = jnp.linalg.norm(t)
     orientation = pose[:3, :3].T @ (t / jnp.where(norm > 0, norm, 1.0))
     idx = jnp.argmax(model.orientations @ orientation)
-    return ViewPoints(
+    return ViewPointsCL(
         center_f_body=model.centers[idx],
         normal_f_body=model.normals[idx],
         foreground_distance=model.foreground_distances[idx],
         background_distance=model.background_distances[idx],
-        measured_depth_offset=model.measured_depth_offsets[idx],
-        modeled_depth_offset=model.modeled_depth_offsets[idx],
     )
 
 
@@ -169,77 +189,162 @@ def _select_depth_view(model: DepthModelArrays, pose) -> DepthViewPoints:
     )
 
 
-def _single_body_cycle(pcfg: PipelineConfig, intr, image, model_b: RegionModelArrays,
-                       pose, hist_f, hist_b, depth_image=None, depth_model_b=None,
-                       depth_intr=None, depth_scale=None):
-    """Full tracking cycle for ONE body (vmapped over the batch)."""
+def _planar_u8(images):
+    """Accept (B, H, W, 3) or planar (B, 3, H, W) uint8 images; return planar."""
+    if images.shape[-1] == 3:
+        return jnp.moveaxis(images, -1, 1)
+    return images
+
+
+def _pad_image(images_planar, crop_size: int):
+    """Zero-pad so both spatial dims are >= crop_size (small test images)."""
+    b, c, h, w = images_planar.shape
+    ph = max(crop_size - h, 0)
+    pw = max(crop_size - w, 0)
+    if ph or pw:
+        images_planar = jnp.pad(images_planar, ((0, 0), (0, 0), (0, ph), (0, pw)))
+    return images_planar
+
+
+def _prepare_crops(pcfg: PipelineConfig, intr, images, poses):
+    """Prologue: per-body focused bin crops around the projected body origin."""
+    fu, fv, ppu, ppv = intr
+    planar = _pad_image(_planar_u8(images), pcfg.crop_size)
+    t = poses[:, :3, 3]
+    z = jnp.where(t[:, 2] > 0, t[:, 2], 1.0)
+    cu = t[:, 0] * fu / z + ppu
+    cv = t[:, 1] * fv / z + ppv
+    corner_u, corner_v = region_fast.crop_corners(
+        cu, cv, pcfg.crop_size, planar.shape[3], planar.shape[2])
+    bin_crop, bin_cropT = region_fast.binify_crops(
+        planar, corner_u, corner_v, pcfg.crop_size, pcfg.cfg.n_histogram_bins)
+    return bin_crop, bin_cropT, corner_u, corner_v
+
+
+def _solve_and_update(pcfg: PipelineConfig, gradient, hessian, pose):
+    """Batched Tikhonov-regularized Newton step (optimizer.cpp:144-167, single link)."""
+    tikhonov = jnp.diag(jnp.asarray(
+        [pcfg.tikhonov_rotation] * 3 + [pcfg.tikhonov_translation] * 3, jnp.float32))
+    a = -hessian + tikhonov[None, :, :]
+    theta = jnp.linalg.solve(a, gradient[..., None])[..., 0]
+    theta = jnp.where(jnp.any(jnp.isnan(theta), axis=-1, keepdims=True),
+                      jnp.zeros_like(theta), theta)
+    # Single root link with identity body2joint: pose' = pose @ variation
+    # (link.cpp:236-238 with body2joint == I).
+    return pose @ jax.vmap(pose_variation)(theta)
+
+
+def _region_terms(pcfg: PipelineConfig, intr, scale, points, poses, n_lines,
+                  bin_crop, bin_cropT, rtab, corner_u, corner_v, width, height):
+    """One correspondence pass for the whole batch -> lane-major DataLines."""
+    fu, fv, ppu, ppv = intr
+    cfg = pcfg.cfg
+    kp = region_fast.round_up(cfg.line_length_in_segments * scale, 8)
+    geo = jax.vmap(
+        lambda p, pose, cu, cv: region_fast.line_geometry(
+            cfg, scale, p, n_lines, pose, fu, fv, ppu, ppv, width, height,
+            cu, cv, pcfg.crop_size, pcfg.lp)
+    )(points, poses, corner_u, corner_v)
+    samples = region_fast.sample_lines(geo.params, bin_crop, bin_cropT, rtab, kp)
+    lines = jax.vmap(
+        lambda g, s: region_fast.lines_from_samples(cfg, scale, g, s)
+    )(geo, samples)
+    return lines
+
+
+def _histogram_memories(pcfg: PipelineConfig, intr, points, poses, n_lines,
+                        bin_crop, bin_cropT, rtab, corner_u, corner_v, width, height):
+    """Fg/bg color collection along contour normals (cpp:1025-1155) for the batch."""
+    fu, fv, ppu, ppv = intr
+    cfg = pcfg.cfg
+    lp2 = 2 * pcfg.lp
+    params, mask = jax.vmap(
+        lambda p, pose, cu, cv: region_fast.histogram_walk_geometry(
+            cfg, p, n_lines, pose, fu, fv, ppu, ppv, width, height,
+            cu, cv, pcfg.crop_size, lp2)
+    )(points, poses, corner_u, corner_v)
+    max_steps = int(np.ceil(cfg.max_considered_line_length)) + 1
+    kp2 = region_fast.round_up(max_steps, 8)
+    bins = region_fast.sample_lines(params, bin_crop, bin_cropT, rtab, kp2,
+                                    output="bins")
+    bins = jnp.swapaxes(bins, 1, 2)  # (B, lp2, kp2) to align with mask
+    b = bins.shape[0]
+    half = lp2 // 2
+    n_total = cfg.n_histogram_bins ** 3
+    mem_f = region_fast.bin_counts(bins[:, :half].reshape(b, -1),
+                                   mask[:, :half].reshape(b, -1), n_total)
+    mem_b = region_fast.bin_counts(bins[:, half:].reshape(b, -1),
+                                   mask[:, half:].reshape(b, -1), n_total)
+    return mem_f, mem_b
+
+
+def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
+                state: TrackingState, depth_intr=None, depth_scale=None,
+                depth_images=None, depth_model=None) -> TrackingState:
+    """Full tracking cycle for a batch (shared by jit and shard_map paths)."""
     cfg = pcfg.cfg
     fu, fv, ppu, ppv = intr
-    width = image.shape[1]
-    height = image.shape[0]
+    planar_shape = _planar_u8(images).shape
+    height, width = planar_shape[2], planar_shape[3]
     n_lines = jnp.int32(cfg.n_lines_max)
-    lookup_f, lookup_b = cfg.function_lookups()
-    use_depth = pcfg.use_depth and depth_image is not None
+    use_depth = pcfg.use_depth and depth_images is not None
+
+    pose = state.body2camera_pose
+    hist_f, hist_b = state.histogram_f, state.histogram_b
+    bin_crop, bin_cropT, corner_u, corner_v = _prepare_crops(pcfg, intr, images, pose)
+    rtab = region_fast.ratio_table(hist_f, hist_b)
 
     for corr_iteration in range(pcfg.n_corr_iterations):
         scale, std = pcfg.iteration_scale(corr_iteration)
-        points = _select_view(model_b, pose)
-        lines = region_fn.calculate_correspondences(
-            cfg, scale, points, n_lines, pose, image, hist_f, hist_b,
-            fu, fv, ppu, ppv, width, height, jnp.asarray(True),
-            function_lookup_f=lookup_f, function_lookup_b=lookup_b,
-        )
+        points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, pose)
+        lines = _region_terms(pcfg, intr, scale, points, pose, n_lines,
+                              bin_crop, bin_cropT, rtab, corner_u, corner_v,
+                              width, height)
         if use_depth:
             cd, depth_std = pcfg.iteration_depth(corr_iteration)
             dfu, dfv, dppu, dppv = depth_intr
-            depth_points = depth_fn.calculate_correspondences(
-                pcfg.depth_cfg, cd, _select_depth_view(depth_model_b, pose),
-                jnp.int32(pcfg.depth_cfg.n_points_max), pose, depth_image,
-                dfu, dfv, dppu, dppv, depth_image.shape[1], depth_image.shape[0],
-                depth_scale, jnp.asarray(True),
-            )
+            depth_points = jax.vmap(
+                lambda dimg, dmdl, p: depth_fn.calculate_correspondences(
+                    pcfg.depth_cfg, cd, _select_depth_view(dmdl, p),
+                    jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
+                    dfu, dfv, dppu, dppv, depth_images.shape[2],
+                    depth_images.shape[1], depth_scale, jnp.asarray(True))
+            )(depth_images, depth_model, pose)
         for update_iteration in range(pcfg.n_update_iterations):
-            gradient, hessian = region_fn.calculate_gradient_and_hessian(
-                cfg, lines, pose, fu, fv, ppu, ppv, std,
-                update_iteration < cfg.n_global_iterations,
-            )
+            gradient, hessian = jax.vmap(
+                lambda ln, p: region_fast.gradient_hessian_cl(
+                    cfg, ln, p, fu, fv, ppu, ppv, std,
+                    update_iteration < cfg.n_global_iterations)
+            )(lines, pose)
             if use_depth:
-                dg, dh = depth_fn.calculate_gradient_and_hessian(
-                    depth_points, pose, depth_std)
+                dg, dh = jax.vmap(
+                    lambda dp, p: depth_fn.calculate_gradient_and_hessian(
+                        dp, p, depth_std)
+                )(depth_points, pose)
                 gradient = gradient + dg
                 hessian = hessian + dh
-            tikhonov = jnp.diag(jnp.asarray(
-                [pcfg.tikhonov_rotation] * 3 + [pcfg.tikhonov_translation] * 3,
-                jnp.float32))
-            a = -hessian + tikhonov
-            theta = jnp.linalg.solve(a, gradient)
-            theta = jnp.where(jnp.any(jnp.isnan(theta)), jnp.zeros(6), theta)
-            # Single root link with identity body2joint: pose' = pose @ variation
-            # (link.cpp:236-238 with body2joint == I).
-            pose = pose @ pose_variation(theta)
+            pose = _solve_and_update(pcfg, gradient, hessian, pose)
 
     # CalculateResults: online histogram adaptation (tracker.cpp:503-517).
-    points = _select_view(model_b, pose)
-    n_bins = cfg.n_histogram_bins
-    memory_f = jnp.zeros_like(hist_f)
-    memory_b = jnp.zeros_like(hist_b)
-    memory_f, memory_b = region_fn.add_line_pixel_colors(
-        cfg, points, n_lines, pose, image, memory_f, memory_b,
-        fu, fv, ppu, ppv, width, height, jnp.asarray(True),
-    )
-    hist_f = hist_ops.calculate_histogram(hist_f, memory_f, pcfg.learning_rate_f)
-    hist_b = hist_ops.calculate_histogram(hist_b, memory_b, pcfg.learning_rate_b)
-    return pose, hist_f, hist_b
+    points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, pose)
+    mem_f, mem_b = _histogram_memories(pcfg, intr, points, pose, n_lines,
+                                       bin_crop, bin_cropT, rtab,
+                                       corner_u, corner_v, width, height)
+    hist_f = jax.vmap(lambda h, m: hist_ops.calculate_histogram(
+        h, m, pcfg.learning_rate_f))(hist_f, mem_f)
+    hist_b = jax.vmap(lambda h, m: hist_ops.calculate_histogram(
+        h, m, pcfg.learning_rate_b))(hist_b, mem_b)
+    return TrackingState(pose, hist_f, hist_b)
 
 
 @functools.partial(jax.jit, static_argnames=("pcfg",))
 def tracking_cycle(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
                    state: TrackingState) -> TrackingState:
-    """One full tracking cycle for a batch of bodies: images (B, H, W, 3)."""
-    pose, hist_f, hist_b = jax.vmap(
-        lambda img, mdl, p, hf, hb: _single_body_cycle(pcfg, intr, img, mdl, p, hf, hb)
-    )(images, model, state.body2camera_pose, state.histogram_f, state.histogram_b)
-    return TrackingState(pose, hist_f, hist_b)
+    """One full tracking cycle for a batch of bodies.
+
+    images: (B, H, W, 3) or planar (B, 3, H, W) uint8.
+    """
+    return _cycle_core(pcfg, intr, images, model, state)
 
 
 @functools.partial(jax.jit, static_argnames=("pcfg",))
@@ -249,48 +354,55 @@ def tracking_cycle_rgbd(pcfg: PipelineConfig, intr, depth_intr, depth_scale, ima
                         state: TrackingState) -> TrackingState:
     """ICG-style region+depth fused cycle for a batch of bodies.
 
-    images (B, H, W, 3) uint8; depth_images (B, Hd, Wd) uint16 with shared depth
-    camera intrinsics/scale (the reference's ICG configuration, ICG/readme.md:51-73).
+    depth_images (B, Hd, Wd) uint16 with shared depth camera intrinsics/scale
+    (the reference's ICG configuration, ICG/readme.md:51-73).
     """
-    pose, hist_f, hist_b = jax.vmap(
-        lambda img, dimg, mdl, dmdl, p, hf, hb: _single_body_cycle(
-            pcfg, intr, img, mdl, p, hf, hb,
-            depth_image=dimg, depth_model_b=dmdl, depth_intr=depth_intr,
-            depth_scale=depth_scale)
-    )(images, depth_images, model, depth_model, state.body2camera_pose,
-      state.histogram_f, state.histogram_b)
-    return TrackingState(pose, hist_f, hist_b)
+    return _cycle_core(pcfg, intr, images, model, state, depth_intr=depth_intr,
+                       depth_scale=depth_scale, depth_images=depth_images,
+                       depth_model=depth_model)
 
 
 def initialize_histograms(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
-                          poses):
+                          poses) -> TrackingState:
     """StartModality for the batch: build histograms at the initial poses (lr == 1)."""
     cfg = pcfg.cfg
-    fu, fv, ppu, ppv = intr
-    width = images.shape[2]
-    height = images.shape[1]
+    poses = jnp.asarray(poses)
+    planar_shape = _planar_u8(images).shape
+    height, width = planar_shape[2], planar_shape[3]
     n = cfg.n_histogram_bins ** 3
+    b = poses.shape[0]
 
-    def one(img, mdl, pose):
-        points = _select_view(mdl, pose)
-        memory_f = jnp.zeros((n,), jnp.float32)
-        memory_b = jnp.zeros((n,), jnp.float32)
-        memory_f, memory_b = region_fn.add_line_pixel_colors(
-            cfg, points, jnp.int32(cfg.n_lines_max), pose, img, memory_f, memory_b,
-            fu, fv, ppu, ppv, width, height, jnp.asarray(False),
-        )
-        uniform = jnp.full((n,), 1.0 / n, jnp.float32)
-        hf = hist_ops.calculate_histogram(uniform, memory_f, 1.0)
-        hb = hist_ops.calculate_histogram(uniform, memory_b, 1.0)
-        return hf, hb
-
-    hist_f, hist_b = jax.vmap(one)(images, model, poses)
-    return TrackingState(jnp.asarray(poses), hist_f, hist_b)
+    bin_crop, bin_cropT, corner_u, corner_v = _prepare_crops(pcfg, intr, images, poses)
+    rtab = jnp.zeros((b, n // 128, 128), jnp.float32)
+    points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, poses)
+    mem_f, mem_b = _histogram_memories(pcfg, intr, points, poses,
+                                       jnp.int32(cfg.n_lines_max),
+                                       bin_crop, bin_cropT, rtab,
+                                       corner_u, corner_v, width, height)
+    uniform = jnp.full((b, n), 1.0 / n, jnp.float32)
+    hist_f = jax.vmap(lambda h, m: hist_ops.calculate_histogram(h, m, 1.0))(
+        uniform, mem_f)
+    hist_b = jax.vmap(lambda h, m: hist_ops.calculate_histogram(h, m, 1.0))(
+        uniform, mem_b)
+    return TrackingState(poses, hist_f, hist_b)
 
 
 # --------------------------------------------------------------------------------------
 # Multi-chip sharded step (SURVEY.md section 2.4: DP over bodies, camera-axis reduction)
 # --------------------------------------------------------------------------------------
+
+
+class MultiCameraState(NamedTuple):
+    """Tracking state for the multi-camera sharded cycle.
+
+    Pose is per body in the reference-camera frame (replicated over the camera axis);
+    histograms are per (body, camera) — the reference gives every RegionModality its
+    own ColorHistograms unless explicitly shared (region_modality.h:79-83).
+    """
+
+    body2reference_pose: jnp.ndarray  # (B, 4, 4)
+    histogram_f: jnp.ndarray  # (B, C, n_bins^3)
+    histogram_b: jnp.ndarray  # (B, C, n_bins^3)
 
 
 def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr):
@@ -299,13 +411,17 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr):
     Bodies are sharded across the ``data`` axis; each body is observed by ``camera``-axis
     many cameras whose per-camera gradient/Hessian contributions are reduced with a psum
     over ICI before the shared Newton step — the TPU-native analogue of the reference's
-    multi-camera modality fusion (one Link summing several modalities, link.cpp:184-193).
+    multi-camera modality fusion (one Link summing several modalities,
+    link.cpp:184-193).  The per-camera computation is the FULL single-chip cycle
+    semantics: every correspondence iteration, global and local update iterations, and
+    per-camera histogram adaptation.
 
     Inputs of the returned function:
       images: (B, C, H, W, 3) uint8, sharded ("data", "camera")
-      cam2ref_poses: (C, 4, 4) camera-to-reference-camera extrinsics, replicated
+      cam2ref_poses: (C, 4, 4) camera-to-reference-camera extrinsics, sharded ("camera",)
       model: RegionModelArrays sharded ("data",) on the body axis
-      state: TrackingState sharded ("data",), pose in reference-camera frame
+      state: MultiCameraState with pose sharded ("data",) and histograms
+             sharded ("data", "camera")
     """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
@@ -314,49 +430,62 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr):
     fu, fv, ppu, ppv = intr
 
     def per_shard(images, cam2ref, model, pose, hist_f, hist_b):
-        # shapes: images (b, c, H, W, 3) local shard; cam2ref (c, 4, 4) local.
-        width = images.shape[3]
-        height = images.shape[2]
-        lookup_f, lookup_b = cfg.function_lookups()
+        # Local shapes: images (b, c, H, W, 3); cam2ref (c, 4, 4);
+        # pose (b, 4, 4); hist_* (b, c, N).
+        b, c = images.shape[0], images.shape[1]
+        height, width = images.shape[2], images.shape[3]
+        n_lines = jnp.int32(cfg.n_lines_max)
+        ref2cam = jnp.linalg.inv(cam2ref)
 
-        def body_cycle(img_c, mdl, pose_b, hf, hb):
-            # img_c: (c, H, W, 3) — this device's camera slice for one body.
-            p = pose_b
-            for corr_iteration in range(pcfg.n_corr_iterations):
-                scale, std = pcfg.iteration_scale(corr_iteration)
-                points = _select_view(mdl, p)
+        flat = lambda x: x.reshape((b * c,) + x.shape[2:])
+        images_f = flat(images)                      # (b*c, H, W, 3)
+        hist_f_l = flat(hist_f)
+        hist_b_l = flat(hist_b)
+        model_f = jax.tree_util.tree_map(
+            lambda a: jnp.repeat(a, c, axis=0), model)
 
-                def camera_terms(img, c2r):
-                    # body pose in this camera's frame: ref pose premultiplied.
-                    ref2cam = jnp.linalg.inv(c2r)
-                    pose_cam = ref2cam @ p
-                    lines = region_fn.calculate_correspondences(
-                        cfg, scale, points, jnp.int32(cfg.n_lines_max), pose_cam,
-                        img, hf, hb, fu, fv, ppu, ppv, width, height,
-                        jnp.asarray(True), function_lookup_f=lookup_f,
-                        function_lookup_b=lookup_b,
-                    )
-                    g, h = region_fn.calculate_gradient_and_hessian(
-                        cfg, lines, pose_cam, fu, fv, ppu, ppv, std, True,
-                    )
-                    return g, h
+        def cam_poses(pose):
+            # (b, c, 4, 4) -> flat (b*c, 4, 4): body pose in each camera's frame.
+            return jnp.einsum("cij,bjk->bcik", ref2cam, pose).reshape(b * c, 4, 4)
 
-                g_c, h_c = jax.vmap(camera_terms)(img_c, cam2ref)
-                g = jnp.sum(g_c, axis=0)
-                h = jnp.sum(h_c, axis=0)
-                # Reduce camera contributions across the camera mesh axis (ICI psum).
+        pose_cam = cam_poses(pose)
+        bin_crop, bin_cropT, corner_u, corner_v = _prepare_crops(
+            pcfg, intr, images_f, pose_cam)
+        rtab = region_fast.ratio_table(hist_f_l, hist_b_l)
+
+        for corr_iteration in range(pcfg.n_corr_iterations):
+            scale, std = pcfg.iteration_scale(corr_iteration)
+            pose_cam = cam_poses(pose)
+            points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model_f, pose_cam)
+            lines = _region_terms(pcfg, intr, scale, points, pose_cam, n_lines,
+                                  bin_crop, bin_cropT, rtab, corner_u, corner_v,
+                                  width, height)
+            for update_iteration in range(pcfg.n_update_iterations):
+                pose_cam = cam_poses(pose)
+                g_c, h_c = jax.vmap(
+                    lambda ln, p: region_fast.gradient_hessian_cl(
+                        cfg, ln, p, fu, fv, ppu, ppv, std,
+                        update_iteration < cfg.n_global_iterations)
+                )(lines, pose_cam)
+                # Gradient/Hessian live in the BODY frame (modality.h:135-136), so
+                # contributions from different cameras sum directly.
+                g = jnp.sum(g_c.reshape(b, c, 6), axis=1)
+                h = jnp.sum(h_c.reshape(b, c, 6, 6), axis=1)
                 g = jax.lax.psum(g, axis_name="camera")
                 h = jax.lax.psum(h, axis_name="camera")
-                tikhonov = jnp.diag(jnp.asarray(
-                    [pcfg.tikhonov_rotation] * 3 + [pcfg.tikhonov_translation] * 3,
-                    jnp.float32))
-                theta = jnp.linalg.solve(-h + tikhonov, g)
-                theta = jnp.where(jnp.any(jnp.isnan(theta)), jnp.zeros(6), theta)
-                p = p @ pose_variation(theta)
-            return p, hf, hb
+                pose = _solve_and_update(pcfg, g, h, pose)
 
-        pose, hist_f, hist_b = jax.vmap(body_cycle)(images, model, pose, hist_f, hist_b)
-        return pose, hist_f, hist_b
+        pose_cam = cam_poses(pose)
+        points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model_f, pose_cam)
+        mem_f, mem_b = _histogram_memories(pcfg, intr, points, pose_cam, n_lines,
+                                           bin_crop, bin_cropT, rtab,
+                                           corner_u, corner_v, width, height)
+        hist_f_l = jax.vmap(lambda h_, m_: hist_ops.calculate_histogram(
+            h_, m_, pcfg.learning_rate_f))(hist_f_l, mem_f)
+        hist_b_l = jax.vmap(lambda h_, m_: hist_ops.calculate_histogram(
+            h_, m_, pcfg.learning_rate_b))(hist_b_l, mem_b)
+        unflat = lambda x: x.reshape((b, c) + x.shape[1:])
+        return pose, unflat(hist_f_l), unflat(hist_b_l)
 
     spec_bc = P("data", "camera")
     spec_b = P("data")
@@ -365,15 +494,35 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr):
 
     sharded = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(spec_bc, spec_c, model_spec, spec_b, spec_b, spec_b),
-        out_specs=(spec_b, spec_b, spec_b),
+        in_specs=(spec_bc, spec_c, model_spec, spec_b, spec_bc, spec_bc),
+        out_specs=(spec_b, spec_bc, spec_bc),
+        # pallas_call outputs carry no varying-manual-axes metadata yet.
+        check_vma=False,
     )
 
     @jax.jit
-    def cycle(images, cam2ref_poses, model, state: TrackingState) -> TrackingState:
+    def cycle(images, cam2ref_poses, model,
+              state: MultiCameraState) -> MultiCameraState:
         pose, hf, hb = sharded(images, cam2ref_poses, model,
-                               state.body2camera_pose, state.histogram_f,
+                               state.body2reference_pose, state.histogram_f,
                                state.histogram_b)
-        return TrackingState(pose, hf, hb)
+        return MultiCameraState(pose, hf, hb)
 
     return cycle
+
+
+def initialize_multicamera_histograms(pcfg: PipelineConfig, intr, images, cam2ref_poses,
+                                      model: RegionModelArrays,
+                                      poses) -> MultiCameraState:
+    """StartModality for the multi-camera cycle (host-side, unsharded shapes)."""
+    b, c = images.shape[0], images.shape[1]
+    ref2cam = jnp.linalg.inv(cam2ref_poses)
+    pose_cam = jnp.einsum("cij,bjk->bcik", ref2cam, jnp.asarray(poses))
+    images_f = images.reshape((b * c,) + images.shape[2:])
+    model_f = jax.tree_util.tree_map(lambda a: jnp.repeat(a, c, axis=0), model)
+    st = initialize_histograms(pcfg, intr, images_f, model_f,
+                               pose_cam.reshape(b * c, 4, 4))
+    n = st.histogram_f.shape[-1]
+    return MultiCameraState(jnp.asarray(poses),
+                            st.histogram_f.reshape(b, c, n),
+                            st.histogram_b.reshape(b, c, n))

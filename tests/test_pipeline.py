@@ -72,39 +72,72 @@ def test_batched_cycle_tracks(batch):
     assert np.all(err < 0.005), f"translation errors {err}"
 
 
-def test_sharded_cycle_matches_mesh(batch):
-    """Multi-camera sharded cycle on the virtual 8-device CPU mesh."""
-    from jax.sharding import Mesh
-
+def _multicam_inputs(batch, B=4, C=2):
     intr_t, bodies, models, gt_poses, frames = batch
     pcfg = _pcfg()
     intr = (np.float32(intr_t.fu), np.float32(intr_t.fv),
             np.float32(intr_t.ppu), np.float32(intr_t.ppv))
     model = pipeline.RegionModelArrays.from_models(models, 64)
-
-    devices = np.array(jax.devices()[:8]).reshape(4, 2)
-    mesh = Mesh(devices, ("data", "camera"))
-    cycle = pipeline.make_sharded_cycle(pcfg, mesh, intr)
-
-    B = 4  # pad body batch to the data axis size
-    C = 2
     reps = [i % len(models) for i in range(B)]
-    model_b = jax.tree_util.tree_map(
-        lambda a: jnp.stack([a[r] for r in reps]), model)
-    # Two identical cameras (identity extrinsics) -> same result as single camera,
-    # exercising the psum fusion path.
-    images = jnp.asarray(np.stack([
+    model_b = jax.tree_util.tree_map(lambda a: jnp.stack([a[r] for r in reps]), model)
+    images0 = jnp.asarray(np.stack([
+        np.stack([frames[0][r % len(models)]] * C) for r in reps]))
+    images1 = jnp.asarray(np.stack([
         np.stack([frames[1][r % len(models)]] * C) for r in reps]))
     cam2ref = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * C))
     poses0 = jnp.asarray(np.stack([gt_poses[0][r % len(models)] for r in reps]))
+    state = pipeline.initialize_multicamera_histograms(
+        pcfg, intr, images0, cam2ref, model_b, poses0)
+    gt1 = np.stack([gt_poses[1][r % len(models)] for r in reps])
+    return pcfg, intr, model_b, images1, cam2ref, state, gt1
 
-    state = pipeline.initialize_histograms(
-        pcfg, intr,
-        jnp.asarray(np.stack([frames[0][r % len(models)] for r in reps])),
-        model_b, poses0)
+
+def test_sharded_cycle_matches_mesh(batch):
+    """Multi-camera sharded cycle on the virtual 8-device CPU mesh."""
+    from jax.sharding import Mesh
+
+    pcfg, intr, model_b, images, cam2ref, state, gt = _multicam_inputs(batch)
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "camera"))
+    cycle = pipeline.make_sharded_cycle(pcfg, mesh, intr)
     with mesh:
         out = cycle(images, cam2ref, model_b, state)
-    est = np.asarray(out.body2camera_pose)
-    gt = np.stack([gt_poses[1][r % len(models)] for r in reps])
+    est = np.asarray(out.body2reference_pose)
     err = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=1)
     assert np.all(err < 0.006), f"sharded translation errors {err}"
+    assert out.histogram_f.shape == state.histogram_f.shape
+    # Histograms adapted (not returned untouched).
+    assert not np.allclose(np.asarray(out.histogram_f),
+                           np.asarray(state.histogram_f))
+
+
+def test_sharded_cycle_equals_unsharded(batch):
+    """Full-feature equivalence: (4,2) mesh == (1,1) mesh, and C=1 == tracking_cycle."""
+    from jax.sharding import Mesh
+
+    pcfg, intr, model_b, images, cam2ref, state, gt = _multicam_inputs(batch)
+
+    mesh_a = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "camera"))
+    mesh_b = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "camera"))
+    out_a = pipeline.make_sharded_cycle(pcfg, mesh_a, intr)(
+        images, cam2ref, model_b, state)
+    out_b = pipeline.make_sharded_cycle(pcfg, mesh_b, intr)(
+        images, cam2ref, model_b, state)
+    np.testing.assert_allclose(np.asarray(out_a.body2reference_pose),
+                               np.asarray(out_b.body2reference_pose),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_a.histogram_f),
+                               np.asarray(out_b.histogram_f), rtol=0, atol=1e-6)
+
+    # Single camera with identity extrinsics must reproduce the single-chip cycle.
+    pcfg1, intr1, model1, images1, cam2ref1, state1, _ = _multicam_inputs(batch, C=1)
+    out_c = pipeline.make_sharded_cycle(pcfg1, mesh_b, intr1)(
+        images1, cam2ref1, model1, state1)
+    flat_state = pipeline.TrackingState(
+        state1.body2reference_pose, state1.histogram_f[:, 0], state1.histogram_b[:, 0])
+    out_d = pipeline.tracking_cycle(pcfg1, intr1, images1[:, 0], model1, flat_state)
+    np.testing.assert_allclose(np.asarray(out_c.body2reference_pose),
+                               np.asarray(out_d.body2camera_pose),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_c.histogram_f[:, 0]),
+                               np.asarray(out_d.histogram_f), rtol=0, atol=1e-6)
