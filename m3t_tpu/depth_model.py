@@ -102,7 +102,7 @@ class DepthModel(Model):
 
     def _generate_model(self) -> None:
         print(f"Start generating depth model {self.name}")
-        poses = model_base.generate_geodesic_poses(self.n_divides, self.sphere_radius)
+        poses = self._select_geodesic_poses()
         intr = self._model_intrinsics()
         V = len(poses)
         N = self.n_points
@@ -114,7 +114,7 @@ class DepthModel(Model):
         self.surface_areas = np.zeros((V,), np.float32)
 
         rng = (np.random.default_rng()
-               if self.use_random_seed else np.random.default_rng(7))
+               if self.use_random_seed else np.random.default_rng(self.seed))
 
         for i, cam2body in enumerate(poses):
             world2cam = np_pose_inverse(cam2body)

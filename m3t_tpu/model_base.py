@@ -148,7 +148,7 @@ class Model:
                  sphere_radius: float = 0.8, n_divides: int = 4, n_points: int = 200,
                  max_radius_depth_offset: float = 0.05, stride_depth_offset: float = 0.002,
                  use_random_seed: bool = False, image_size: int = 2000,
-                 metafile_path: str | None = None):
+                 metafile_path: str | None = None, view_subset=None, seed: int = 7):
         self.name = name
         self.metafile_path = metafile_path
         self.body_ptr = body_ptr
@@ -160,7 +160,21 @@ class Model:
         self.stride_depth_offset = float(stride_depth_offset)
         self.use_random_seed = bool(use_random_seed)
         self.image_size = int(image_size)
+        # Optional restriction to a subset of geodesic view indices.  Used by tests that
+        # only exercise one known viewing direction (e.g. reference-golden parity) — the
+        # reference generates all views up front (model.cpp:386-454); generating a subset
+        # keeps the identical view geometry at a fraction of the precompute cost.
+        self.view_subset = None if view_subset is None else np.asarray(view_subset, np.int64)
+        # Sampling seed when use_random_seed is False (reference hardcodes 7,
+        # region_model.cpp:513-516); exposed so tests can build seed ensembles.
+        self.seed = int(seed)
         self.set_up = False
+
+    def _select_geodesic_poses(self) -> np.ndarray:
+        poses = generate_geodesic_poses(self.n_divides, self.sphere_radius)
+        if self.view_subset is not None:
+            poses = poses[self.view_subset]
+        return poses
 
     # -- setup helpers -----------------------------------------------------------------
 
@@ -205,7 +219,8 @@ class Model:
         h.update(
             f"{self._kVersionID}|{self._kModelType}|{self.sphere_radius}|{self.n_divides}|"
             f"{self.n_points}|{self.max_radius_depth_offset}|{self.stride_depth_offset}|"
-            f"{self.image_size}|{extra}".encode()
+            f"{self.image_size}|{extra}|{self.seed}|"
+            f"{'' if self.view_subset is None else self.view_subset.tolist()}".encode()
         )
         h.update(np.ascontiguousarray(body.vertices).tobytes())
         h.update(np.ascontiguousarray(body.triangles).tobytes())

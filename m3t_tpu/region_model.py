@@ -169,7 +169,7 @@ class RegionModel(Model):
 
     def _generate_model(self) -> None:
         print(f"Start generating region model {self.name}")
-        poses = model_base.generate_geodesic_poses(self.n_divides, self.sphere_radius)
+        poses = self._select_geodesic_poses()
         intr = self._model_intrinsics()
         V = len(poses)
         N = self.n_points
@@ -188,7 +188,7 @@ class RegionModel(Model):
         self.contour_lengths = np.zeros((V,), np.float32)
 
         rng = (np.random.default_rng()
-               if self.use_random_seed else np.random.default_rng(7))
+               if self.use_random_seed else np.random.default_rng(self.seed))
 
         for i, cam2body in enumerate(poses):
             world2cam = np_pose_inverse(cam2body)
