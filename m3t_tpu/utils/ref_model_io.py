@@ -86,7 +86,16 @@ def load_ref_model(path: str) -> RefModel:
     """Load a reference-format .bin sparse viewpoint model (region or depth)."""
     r = _Reader(open(path, "rb").read())
     model_type = r.take_bytes(1).decode()
+    if model_type not in ("r", "d"):
+        raise ValueError(f"{path}: unknown model type {model_type!r} (expected 'r' or 'd')")
     version_id = r.take("i")
+    # kVersionID: region_model.h:59 (10) / depth_model.h:47 (9). The reference rejects a
+    # mismatch in LoadModelParameters; parsing a different layout would yield garbage.
+    expected_version = 10 if model_type == "r" else 9
+    if version_id != expected_version:
+        raise ValueError(
+            f"{path}: version_id {version_id} != expected {expected_version} "
+            f"for model type {model_type!r}")
     sphere_radius = r.take("f")
     n_divides = r.take("i")
     n_points = r.take("i")
@@ -137,6 +146,8 @@ def load_ref_model(path: str) -> RefModel:
         else:
             surface_areas[v] = r.take("f")
 
+    if r.off != len(r.data):
+        raise ValueError(f"{path}: {len(r.data) - r.off} unparsed trailing bytes")
     return RefModel(model_type, version_id, sphere_radius, n_divides, n_points,
                     max_radius_depth_offset, stride_depth_offset, bool(use_random_seed),
                     image_size, body, associated, orientations, centers, normals,

@@ -68,7 +68,8 @@ def closest_view_index(body, camera, n_divides=4, sphere_radius=0.8):
 
 
 def main():
-    tmp = tempfile.mkdtemp(dir="/root/repo")
+    tmp_ctx = tempfile.TemporaryDirectory()
+    tmp = tmp_ctx.name
     body = triangle_body()
     color_cam = LoaderColorCamera("color_camera",
                                   metafile_path=os.path.join(REF, "_sequence/color_camera.yaml"))
