@@ -123,7 +123,7 @@ class FocusedRenderer(Renderer):
                  camera_ptr: Camera | None = None, image_size: int = 200,
                  z_min: float = 0.02, z_max: float = 10.0, **kwargs):
         super().__init__(name, renderer_geometry_ptr, camera_ptr, z_min, z_max,
-                         use_decimated_meshes=kwargs.pop("use_decimated_meshes", True),
+                         use_decimated_meshes=kwargs.pop("use_decimated_meshes", False),
                          **kwargs)
         self.image_size = int(image_size)
         self.referenced_body_ptrs: list[Body] = []
@@ -148,7 +148,11 @@ class FocusedRenderer(Renderer):
         return True
 
     def _bodies(self):
-        return [b for b in self.referenced_body_ptrs if b.name in self.visible_body_names]
+        # The reference draws the FULL renderer-geometry scene with the focused
+        # projection (renderer.cpp:348-406 computes the crop from referenced bodies
+        # only, but the GL pass rasterizes every body in the context) — that is how
+        # non-referenced occluders end up in focused depth/silhouette renders.
+        return self.renderer_geometry_ptr.body_ptrs
 
     def IsBodyVisible(self, body_name: str) -> bool:  # noqa: N802
         return body_name in self.visible_body_names

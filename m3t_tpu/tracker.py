@@ -72,16 +72,21 @@ class Tracker:
         self._init_internal_ptrs()
 
     def _init_internal_ptrs(self) -> None:
-        self.detecting_detector_ptrs: list = []
-        self.detecting_refiner_ptrs: list = []
-        self.starting_modality_ptrs: list = []
-        self.starting_start_modality_renderer_ptrs: list = []
-        self.starting_color_histograms_ptrs: list = []
-        self.tracking_optimizer_ptrs: list = []
-        self.tracking_modality_ptrs: list = []
-        self.tracking_correspondence_renderer_ptrs: list = []
-        self.tracking_results_renderer_ptrs: list = []
-        self.tracking_color_histograms_ptrs: list = []
+        # Default the internal sets to ALL objects (tracker.cpp:704-715) so the direct
+        # StartModalities/ExecuteTrackingStep call pattern used by the reference tests
+        # works right after SetUp; RunTrackerProcess re-assembles them per state.
+        self.detecting_detector_ptrs = list(self.detector_ptrs)
+        self.detecting_refiner_ptrs = list(self.refiner_ptrs)
+        self.starting_modality_ptrs = list(self.modality_ptrs)
+        self.starting_start_modality_renderer_ptrs = list(
+            self.start_modality_renderer_ptrs)
+        self.starting_color_histograms_ptrs = list(self.color_histograms_ptrs)
+        self.tracking_optimizer_ptrs = list(self.optimizer_ptrs)
+        self.tracking_modality_ptrs = list(self.modality_ptrs)
+        self.tracking_correspondence_renderer_ptrs = list(
+            self.correspondence_renderer_ptrs)
+        self.tracking_results_renderer_ptrs = list(self.results_renderer_ptrs)
+        self.tracking_color_histograms_ptrs = list(self.color_histograms_ptrs)
 
     # -- user object management --------------------------------------------------------
 
