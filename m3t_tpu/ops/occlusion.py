@@ -1,0 +1,202 @@
+"""Per-iteration focused scene rendering for the fused TPU pipeline.
+
+The reference hot path re-renders the scene around every tracked body each
+correspondence iteration to feed modeled-occlusion and region/silhouette checks
+(m3t/src/tracker.cpp:448-451 ``StartRendering`` + ``region_modality.cpp:397-409``).
+On the object-graph path this role is played by the Focused*Renderer classes
+(m3t_tpu/renderer.py); this module is the batched on-device equivalent: one call
+renders a (B, S, S) focused depth + silhouette-id crop for B independent scenes with
+the MXU rasterizer (ops/raster.py), entirely inside jit, so ``tracking_cycle`` can
+enable occlusion handling without host round-trips.
+
+Body and region silhouette ids are packed into one id image
+(``combined = body_id << 8 | region_id``) so a single raster pass serves both the
+region modality's region checking (region ids, silhouette_renderer.cpp:73-84) and the
+depth modality's body-id silhouette check (depth_modality.cpp:728-734).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m3t_tpu.ops import raster
+
+KIMAGE_SIZE_SAFETY_MARGIN = 1.05  # renderer.cpp:352
+
+
+class SceneGeometry(NamedTuple):
+    """Static per-scene occlusion geometry for a batch of B independent scenes.
+
+    Triangle vertices are stored in each owning body's BODY frame; ``owner`` indexes
+    the per-scene pose array handed to :func:`focused_render`, so moving bodies
+    (including the tracked body itself) are re-posed every render.  Padding triangles
+    carry ``valid == False``.
+    """
+
+    triangles: jnp.ndarray     # (B, T, 3, 3) f32 body-frame vertices
+    owner: jnp.ndarray         # (B, T) int32 index into scene poses
+    sil_id: jnp.ndarray        # (B, T) int32 combined id: body_id << 8 | region_id
+    tri_valid: jnp.ndarray     # (B, T) bool
+    cull: jnp.ndarray          # (B, T) bool backface culling per triangle
+    ref_owner: jnp.ndarray     # (B, NR) int32 referenced bodies (crop computation)
+    ref_radius: jnp.ndarray    # (B, NR) f32 bounding-sphere radii
+    ref_valid: jnp.ndarray     # (B, NR) bool
+    body_id: jnp.ndarray       # (B,) int32 tracked body's body id
+    region_id: jnp.ndarray     # (B,) int32 tracked body's region id
+
+
+class FocusedRender(NamedTuple):
+    """Focused depth + silhouette crops for every scene in the batch."""
+
+    depth: jnp.ndarray         # (B, S, S) f32 meters, +inf background
+    body_sil: jnp.ndarray      # (B, S, S) int32 body ids
+    region_sil: jnp.ndarray    # (B, S, S) int32 region ids
+    corner_u: jnp.ndarray      # (B,)
+    corner_v: jnp.ndarray      # (B,)
+    scale: jnp.ndarray         # (B,)
+    body_visible: jnp.ndarray  # (B,) bool (any referenced body visible)
+
+
+def build_scene_geometry(scenes, referenced=None, max_triangles: int | None = None,
+                         decimate_to: int | None = None) -> SceneGeometry:
+    """Stack host scenes into a :class:`SceneGeometry`.
+
+    scenes: list (length B) of lists of Body objects; index 0 must be the tracked
+    body (its pose slot is filled from TrackingState each cycle).  ``referenced``
+    optionally lists, per scene, the body indices used for the crop computation
+    (default: all bodies, matching the reference tests which reference occluders
+    too).  ``decimate_to`` clusters each mesh to at most that many triangles
+    before upload (renderer_geometry.py keeps decimated occlusion meshes for the
+    same reason).
+    """
+    b = len(scenes)
+    tri_list, owner_list, id_list, cull_list = [], [], [], []
+    for scene in scenes:
+        tris, owners, ids, culls = [], [], [], []
+        for o, body in enumerate(scene):
+            g2b = body.geometry2body_pose
+            v = body.vertices @ g2b[:3, :3].T + g2b[:3, 3]
+            t = body.triangles
+            if decimate_to is not None:
+                v, t = raster.decimate_mesh(v, t, decimate_to)
+            tv = v[t]  # (t, 3, 3)
+            tris.append(np.asarray(tv, np.float32))
+            owners.append(np.full(len(tv), o, np.int32))
+            ids.append(np.full(len(tv),
+                               (int(body.body_id) << 8) | int(body.region_id),
+                               np.int32))
+            culls.append(np.full(len(tv), bool(body.geometry_enable_culling), bool))
+        tri_list.append(np.concatenate(tris))
+        owner_list.append(np.concatenate(owners))
+        id_list.append(np.concatenate(ids))
+        cull_list.append(np.concatenate(culls))
+
+    t_max = max(len(t) for t in tri_list)
+    if max_triangles is not None:
+        t_max = max(t_max, max_triangles)
+
+    def pad(a, fill=0):
+        out = np.full((t_max,) + a.shape[1:], fill, a.dtype)
+        out[: len(a)] = a
+        return out
+
+    triangles = np.stack([pad(t) for t in tri_list])
+    owner = np.stack([pad(o) for o in owner_list])
+    sil_id = np.stack([pad(i) for i in id_list])
+    cull = np.stack([pad(c) for c in cull_list])
+    tri_valid = np.stack([
+        np.arange(t_max) < len(t) for t in tri_list])
+
+    nr_max = max(len(referenced[i]) if referenced is not None else len(scenes[i])
+                 for i in range(b))
+    ref_owner = np.zeros((b, nr_max), np.int32)
+    ref_radius = np.zeros((b, nr_max), np.float32)
+    ref_valid = np.zeros((b, nr_max), bool)
+    for i, scene in enumerate(scenes):
+        refs = referenced[i] if referenced is not None else list(range(len(scene)))
+        for j, o in enumerate(refs):
+            ref_owner[i, j] = o
+            ref_radius[i, j] = 0.5 * float(scene[o].maximum_body_diameter)
+            ref_valid[i, j] = True
+
+    body_id = np.asarray([int(s[0].body_id) for s in scenes], np.int32)
+    region_id = np.asarray([int(s[0].region_id) for s in scenes], np.int32)
+    return SceneGeometry(
+        triangles=jnp.asarray(triangles), owner=jnp.asarray(owner),
+        sil_id=jnp.asarray(sil_id), tri_valid=jnp.asarray(tri_valid),
+        cull=jnp.asarray(cull),
+        ref_owner=jnp.asarray(ref_owner), ref_radius=jnp.asarray(ref_radius),
+        ref_valid=jnp.asarray(ref_valid), body_id=jnp.asarray(body_id),
+        region_id=jnp.asarray(region_id))
+
+
+def _crop_params(ref_centers, ref_radius, ref_valid, fu, fv, ppu, ppv,
+                 width: int, height: int, image_size: int,
+                 z_min: float, z_max: float):
+    """Vectorized FocusedRenderer::CalculateProjection (renderer.cpp:348-406)."""
+    x, y, z = ref_centers[:, 0], ref_centers[:, 1], ref_centers[:, 2]
+    r = ref_radius
+    z_safe = jnp.where(z > 0, z, 1.0)
+    cond = (z >= r * 1.5) & (z - r >= z_min) & (z + r <= z_max) & ref_valid
+    z2_r2 = jnp.maximum(z_safe * z_safe - r * r, 1e-12)
+    z3_zr2 = z2_r2 * z_safe
+    r_u = fu * (jnp.abs(x) * r * r + r * z_safe * jnp.sqrt(z2_r2 + x * x)) / z3_zr2
+    r_v = fv * (jnp.abs(y) * r * r + r * z_safe * jnp.sqrt(z2_r2 + y * y)) / z3_zr2
+    cu = x * fu / z_safe + ppu
+    cv = y * fv / z_safe + ppv
+    on_image = ~((cu - r_u > width) | (cu + r_u < 0)
+                 | (cv - r_v > height) | (cv + r_v < 0))
+    vis = cond & on_image
+    big = jnp.float32(1e30)
+    u_min = jnp.min(jnp.where(vis, cu - r_u, big))
+    u_max = jnp.max(jnp.where(vis, cu + r_u, -big))
+    v_min = jnp.min(jnp.where(vis, cv - r_v, big))
+    v_max = jnp.max(jnp.where(vis, cv + r_v, -big))
+    visible = jnp.any(vis)
+    d = jnp.maximum(u_max - u_min, v_max - v_min) * KIMAGE_SIZE_SAFETY_MARGIN
+    d = jnp.where(visible & (d > 0), d, jnp.float32(image_size))
+    corner_u = jnp.where(visible, 0.5 * (u_min + u_max - d), 0.0)
+    corner_v = jnp.where(visible, 0.5 * (v_min + v_max - d), 0.0)
+    scale = jnp.where(visible, jnp.float32(image_size) / d, 1.0)
+    return corner_u, corner_v, scale, visible
+
+
+def focused_render(geom: SceneGeometry, scene_poses, intr, width: int, height: int,
+                   image_size: int = 200, z_min: float = 0.02, z_max: float = 10.0,
+                   chunk: int = 64) -> FocusedRender:
+    """Render focused depth + silhouette crops for every scene in the batch.
+
+    scene_poses: (B, NO, 4, 4) body-to-camera poses per scene body (slot 0 = the
+    tracked body).  Fully jittable; vmapped over the batch.
+    """
+    fu, fv, ppu, ppv = intr
+
+    def one(tri, owner, sil, tri_valid, cull, ref_owner, ref_radius, ref_valid,
+            poses):
+        pose_t = poses[owner]                       # (T, 4, 4)
+        v_cam = jnp.einsum("tij,tkj->tki", pose_t[:, :3, :3], tri) \
+            + pose_t[:, None, :3, 3]
+        ref_centers = poses[ref_owner][:, :3, 3]
+        corner_u, corner_v, scale, visible = _crop_params(
+            ref_centers, ref_radius, ref_valid, fu, fv, ppu, ppv,
+            width, height, image_size, z_min, z_max)
+        soup = raster.triangle_coefficients(
+            v_cam, sil, fu * scale, fv * scale,
+            (ppu - corner_u) * scale, (ppv - corner_v) * scale,
+            cull_backfaces=cull, z_min=z_min)
+        soup = soup._replace(valid=soup.valid & tri_valid)
+        depth, id_img = raster.rasterize(soup, image_size, image_size, chunk=chunk)
+        depth = jnp.where(visible, depth, jnp.inf)
+        id_img = jnp.where(visible, id_img, 0)
+        return depth, id_img, corner_u, corner_v, scale, visible
+
+    depth, id_img, corner_u, corner_v, scale, visible = jax.vmap(one)(
+        geom.triangles, geom.owner, geom.sil_id, geom.tri_valid, geom.cull,
+        geom.ref_owner, geom.ref_radius, geom.ref_valid, scene_poses)
+    return FocusedRender(
+        depth=depth, body_sil=id_img >> 8, region_sil=id_img & 255,
+        corner_u=corner_u, corner_v=corner_v, scale=scale, body_visible=visible)

@@ -239,6 +239,8 @@ class ViewPointsCL(NamedTuple):
     normal_f_body: jnp.ndarray       # (3, L)
     foreground_distance: jnp.ndarray  # (L,)
     background_distance: jnp.ndarray  # (L,)
+    measured_depth_offset: jnp.ndarray  # (L,)
+    modeled_depth_offset: jnp.ndarray   # (L,)
 
 
 class LineGeometry(NamedTuple):
@@ -296,11 +298,17 @@ def project_lines_cl(points: ViewPointsCL, pose, fu, fv, ppu, ppv):
 
 def line_geometry(cfg: RegionConfig, scale: int, points: ViewPointsCL, n_lines,
                   pose, fu, fv, ppu, ppv, width: int, height: int,
-                  corner_u, corner_v, crop_size: int, lp: int) -> LineGeometry:
+                  corner_u, corner_v, crop_size: int, lp: int,
+                  region_check=None, measured_occlusion=None,
+                  modeled_occlusion=None, handle_occlusions=None) -> LineGeometry:
     """Project model points and derive staircase parameters + validity.
 
     Mirrors region_fn.calculate_correspondences up to (and excluding) pixel access;
     adds the crop-coverage requirement (lines must stay inside the (C, C) crop).
+    Optional occlusion handling mirrors the object-graph path exactly: region
+    checking folds into IsLineValid (region_modality.cpp:1293-1341), measured /
+    modeled occlusions go through the two-pass fallback that disables occlusion
+    handling when fewer than min_n_unoccluded_lines survive (cpp:435-463).
     """
     s_seg = cfg.line_length_in_segments
     line_length = s_seg * scale
@@ -354,6 +362,32 @@ def line_geometry(cfg: RegionConfig, scale: int, points: ViewPointsCL, n_lines,
     in_crop = ((p0 >= corner_p) & (p_end <= corner_p + crop_size - 1)
                & (s_lo >= corner_s) & (s_hi <= corner_s + crop_size - 1))
     valid &= in_crop
+
+    # Region checking is part of IsLineValid (region_modality.cpp:1293-1341);
+    # occlusions go through the two-pass fallback (cpp:435-463).
+    from m3t_tpu.ops import region_fn as _rfn
+    if region_check is not None:
+        valid &= _rfn.region_check_ok(
+            cfg, fscale, center_u, center_v, normal_u, normal_v, region_check,
+            region_check.silhouette.shape[0])
+    occl_ok = jnp.ones(valid.shape, bool)
+    if measured_occlusion is not None:
+        occl_ok &= _rfn._measured_occlusion_free(
+            cfg, points.center_f_body.T, points.measured_depth_offset,
+            measured_occlusion,
+            measured_occlusion.depth_image.shape[1],
+            measured_occlusion.depth_image.shape[0])
+    if modeled_occlusion is not None:
+        occl_ok &= _rfn.modeled_occlusion_free(
+            cfg, center_u, center_v, z, points.modeled_depth_offset, fu,
+            modeled_occlusion, modeled_occlusion.focused_depth.shape[0])
+    if measured_occlusion is not None or modeled_occlusion is not None:
+        valid_with = valid & occl_ok
+        n_with = jnp.sum(valid_with)
+        use_occlusions = ((jnp.asarray(True) if handle_occlusions is None
+                           else handle_occlusions)
+                          & (n_with >= cfg.min_n_unoccluded_lines))
+        valid = jnp.where(use_occlusions, valid_with, valid)
 
     normal_component_to_scale = jnp.abs(normal_p) / fscale
     delta_r = (jnp.floor(center_p - ll_minus_1_half + 0.5) + ll_minus_1_half

@@ -32,10 +32,16 @@ import numpy as np
 from m3t_tpu.common import pose_variation
 from m3t_tpu.ops import depth_fn
 from m3t_tpu.ops import histogram as hist_ops
+from m3t_tpu.ops import occlusion as occlusion_ops
 from m3t_tpu.ops import region_fast
 from m3t_tpu.ops.depth_fn import DepthConfig, DepthViewPoints
 from m3t_tpu.ops.region_fast import ViewPointsCL
-from m3t_tpu.ops.region_fn import RegionConfig
+from m3t_tpu.ops.region_fn import (
+    MeasuredOcclusionInputs,
+    ModeledOcclusionInputs,
+    RegionCheckInputs,
+    RegionConfig,
+)
 
 
 class RegionModelArrays(NamedTuple):
@@ -142,6 +148,24 @@ class PipelineConfig(NamedTuple):
     depth_cfg: DepthConfig = DepthConfig()
     considered_distances: tuple = (0.05, 0.02, 0.01)
     depth_standard_deviations: tuple = (0.05, 0.03, 0.02)
+    # Occlusion handling / region checking (requires a SceneGeometry input; the
+    # focused scene is re-rendered on device every correspondence iteration,
+    # tracker.cpp:448-451).
+    region_model_occlusions: bool = False
+    region_measure_occlusions: bool = False
+    region_checking: bool = False
+    depth_model_occlusions: bool = False
+    depth_measure_occlusions: bool = False
+    depth_silhouette_check: bool = False
+    focused_image_size: int = 200
+    z_min: float = 0.02
+    z_max: float = 10.0
+    occlusion_raster_chunk: int = 64
+
+    @property
+    def needs_scene_render(self) -> bool:
+        return (self.region_model_occlusions or self.region_checking
+                or self.depth_model_occlusions or self.depth_silhouette_check)
 
     def iteration_scale(self, corr_iteration: int):
         scale = self.scales[min(corr_iteration, len(self.scales) - 1)]
@@ -173,6 +197,8 @@ def _select_view_cl(model: RegionModelArrays, pose) -> ViewPointsCL:
         normal_f_body=model.normals[idx],
         foreground_distance=model.foreground_distances[idx],
         background_distance=model.background_distances[idx],
+        measured_depth_offset=model.measured_depth_offsets[idx],
+        modeled_depth_offset=model.modeled_depth_offsets[idx],
     )
 
 
@@ -235,16 +261,25 @@ def _solve_and_update(pcfg: PipelineConfig, gradient, hessian, pose):
 
 
 def _region_terms(pcfg: PipelineConfig, intr, scale, points, poses, n_lines,
-                  bin_crop, bin_cropT, rtab, corner_u, corner_v, width, height):
-    """One correspondence pass for the whole batch -> lane-major DataLines."""
+                  bin_crop, bin_cropT, rtab, corner_u, corner_v, width, height,
+                  region_check=None, measured_occlusion=None,
+                  modeled_occlusion=None, handle_occlusions=None):
+    """One correspondence pass for the whole batch -> lane-major DataLines.
+
+    The optional occlusion structures are batched over bodies (leading B axis);
+    ``handle_occlusions`` is a shared traced scalar.
+    """
     fu, fv, ppu, ppv = intr
     cfg = pcfg.cfg
     kp = region_fast.round_up(cfg.line_length_in_segments * scale, 8)
     geo = jax.vmap(
-        lambda p, pose, cu, cv: region_fast.line_geometry(
+        lambda p, pose, cu, cv, rc, mo, mdo: region_fast.line_geometry(
             cfg, scale, p, n_lines, pose, fu, fv, ppu, ppv, width, height,
-            cu, cv, pcfg.crop_size, pcfg.lp)
-    )(points, poses, corner_u, corner_v)
+            cu, cv, pcfg.crop_size, pcfg.lp, region_check=rc,
+            measured_occlusion=mo, modeled_occlusion=mdo,
+            handle_occlusions=handle_occlusions)
+    )(points, poses, corner_u, corner_v, region_check, measured_occlusion,
+      modeled_occlusion)
     samples = region_fast.sample_lines(geo.params, bin_crop, bin_cropT, rtab, kp)
     lines = jax.vmap(
         lambda g, s: region_fast.lines_from_samples(cfg, scale, g, s)
@@ -280,7 +315,8 @@ def _histogram_memories(pcfg: PipelineConfig, intr, points, poses, n_lines,
 
 def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
                 state: TrackingState, depth_intr=None, depth_scale=None,
-                depth_images=None, depth_model=None) -> TrackingState:
+                depth_images=None, depth_model=None, scene_geom=None,
+                occluder_poses=None, handle_occlusions=None) -> TrackingState:
     """Full tracking cycle for a batch (shared by jit and shard_map paths)."""
     cfg = pcfg.cfg
     fu, fv, ppu, ppv = intr
@@ -288,28 +324,78 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
     height, width = planar_shape[2], planar_shape[3]
     n_lines = jnp.int32(cfg.n_lines_max)
     use_depth = pcfg.use_depth and depth_images is not None
+    render_scene = pcfg.needs_scene_render and scene_geom is not None
+    if handle_occlusions is None:
+        handle_occlusions = jnp.asarray(True)
 
     pose = state.body2camera_pose
     hist_f, hist_b = state.histogram_f, state.histogram_b
     bin_crop, bin_cropT, corner_u, corner_v = _prepare_crops(pcfg, intr, images, pose)
     rtab = region_fast.ratio_table(hist_f, hist_b)
 
+    def scene_render(pose):
+        # Correspondence renderers StartRendering (tracker.cpp:448-451): the full
+        # scene (tracked body in slot 0 + occluders) at the CURRENT pose estimate.
+        if occluder_poses is not None:
+            scene_poses = jnp.concatenate([pose[:, None], occluder_poses], axis=1)
+        else:
+            scene_poses = pose[:, None]
+        return occlusion_ops.focused_render(
+            scene_geom, scene_poses, intr, width, height,
+            pcfg.focused_image_size, pcfg.z_min, pcfg.z_max,
+            pcfg.occlusion_raster_chunk)
+
+    def region_occlusion_inputs(rend):
+        region_check = modeled = measured = None
+        if pcfg.region_checking and rend is not None:
+            region_check = RegionCheckInputs(
+                rend.region_sil, rend.corner_u, rend.corner_v, rend.scale,
+                scene_geom.region_id, rend.body_visible)
+        if pcfg.region_model_occlusions and rend is not None:
+            modeled = ModeledOcclusionInputs(
+                rend.depth, rend.corner_u, rend.corner_v, rend.scale,
+                rend.body_visible)
+        if pcfg.region_measure_occlusions and depth_images is not None:
+            dfu, dfv, dppu, dppv = depth_intr
+            b = pose.shape[0]
+            bc = lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32), (b,))
+            measured = MeasuredOcclusionInputs(
+                depth_images, pose, bc(dfu), bc(dfv), bc(dppu), bc(dppv),
+                bc(depth_scale))
+        return region_check, measured, modeled
+
     for corr_iteration in range(pcfg.n_corr_iterations):
         scale, std = pcfg.iteration_scale(corr_iteration)
+        rend = scene_render(pose) if render_scene else None
+        region_check, measured, modeled = region_occlusion_inputs(rend)
         points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, pose)
         lines = _region_terms(pcfg, intr, scale, points, pose, n_lines,
                               bin_crop, bin_cropT, rtab, corner_u, corner_v,
-                              width, height)
+                              width, height, region_check=region_check,
+                              measured_occlusion=measured,
+                              modeled_occlusion=modeled,
+                              handle_occlusions=handle_occlusions)
         if use_depth:
             cd, depth_std = pcfg.iteration_depth(corr_iteration)
             dfu, dfv, dppu, dppv = depth_intr
+            d_modeled = d_sil = None
+            if pcfg.depth_model_occlusions and rend is not None:
+                d_modeled = depth_fn.DepthModeledOcclusionInputs(
+                    rend.depth, rend.corner_u, rend.corner_v, rend.scale,
+                    rend.body_visible)
+            if pcfg.depth_silhouette_check and rend is not None:
+                d_sil = depth_fn.SilhouetteCheckInputs(
+                    rend.body_sil, rend.corner_u, rend.corner_v, rend.scale,
+                    scene_geom.body_id, rend.body_visible)
             depth_points = jax.vmap(
-                lambda dimg, dmdl, p: depth_fn.calculate_correspondences(
+                lambda dimg, dmdl, p, dmo, dsc: depth_fn.calculate_correspondences(
                     pcfg.depth_cfg, cd, _select_depth_view(dmdl, p),
                     jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
                     dfu, dfv, dppu, dppv, depth_images.shape[2],
-                    depth_images.shape[1], depth_scale, jnp.asarray(True))
-            )(depth_images, depth_model, pose)
+                    depth_images.shape[1], depth_scale, handle_occlusions,
+                    measure_occlusions=pcfg.depth_measure_occlusions,
+                    modeled_occlusion=dmo, silhouette_check=dsc)
+            )(depth_images, depth_model, pose, d_modeled, d_sil)
         for update_iteration in range(pcfg.n_update_iterations):
             gradient, hessian = jax.vmap(
                 lambda ln, p: region_fast.gradient_hessian_cl(
@@ -339,27 +425,40 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
 
 @functools.partial(jax.jit, static_argnames=("pcfg",))
 def tracking_cycle(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
-                   state: TrackingState) -> TrackingState:
+                   state: TrackingState, scene_geom=None, occluder_poses=None,
+                   handle_occlusions=None) -> TrackingState:
     """One full tracking cycle for a batch of bodies.
 
     images: (B, H, W, 3) or planar (B, 3, H, W) uint8.
+    scene_geom (ops.occlusion.SceneGeometry) + occluder_poses (B, NO-1, 4, 4)
+    enable on-device modeled occlusions / region checking when the matching
+    PipelineConfig flags are set; handle_occlusions is a traced bool (the
+    reference disables occlusion handling for the first n_unoccluded_iterations
+    after StartModality, region_modality.h:442).
     """
-    return _cycle_core(pcfg, intr, images, model, state)
+    return _cycle_core(pcfg, intr, images, model, state, scene_geom=scene_geom,
+                       occluder_poses=occluder_poses,
+                       handle_occlusions=handle_occlusions)
 
 
 @functools.partial(jax.jit, static_argnames=("pcfg",))
 def tracking_cycle_rgbd(pcfg: PipelineConfig, intr, depth_intr, depth_scale, images,
                         depth_images, model: RegionModelArrays,
                         depth_model: DepthModelArrays,
-                        state: TrackingState) -> TrackingState:
+                        state: TrackingState, scene_geom=None, occluder_poses=None,
+                        handle_occlusions=None) -> TrackingState:
     """ICG-style region+depth fused cycle for a batch of bodies.
 
     depth_images (B, Hd, Wd) uint16 with shared depth camera intrinsics/scale
-    (the reference's ICG configuration, ICG/readme.md:51-73).
+    (the reference's ICG configuration, ICG/readme.md:51-73).  Occlusion inputs
+    as in :func:`tracking_cycle`; measured occlusions additionally use the depth
+    images directly (region_modality.cpp:1343-1389).
     """
     return _cycle_core(pcfg, intr, images, model, state, depth_intr=depth_intr,
                        depth_scale=depth_scale, depth_images=depth_images,
-                       depth_model=depth_model)
+                       depth_model=depth_model, scene_geom=scene_geom,
+                       occluder_poses=occluder_poses,
+                       handle_occlusions=handle_occlusions)
 
 
 def initialize_histograms(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
