@@ -32,6 +32,7 @@ import numpy as np
 from m3t_tpu.common import pose_variation
 from m3t_tpu.ops import depth_fn
 from m3t_tpu.ops import histogram as hist_ops
+from m3t_tpu.ops import kinematics as kin_ops
 from m3t_tpu.ops import occlusion as occlusion_ops
 from m3t_tpu.ops import region_fast
 from m3t_tpu.ops.depth_fn import DepthConfig, DepthViewPoints
@@ -625,3 +626,151 @@ def initialize_multicamera_histograms(pcfg: PipelineConfig, intr, images, cam2re
     return MultiCameraState(jnp.asarray(poses),
                             st.histogram_f.reshape(b, c, n),
                             st.histogram_b.reshape(b, c, n))
+
+
+# --------------------------------------------------------------------------------------
+# Articulated structures: kinematic trees in the fused pipeline (the M in M3T)
+# --------------------------------------------------------------------------------------
+
+
+class KinematicTrackingState(NamedTuple):
+    """Per-structure tracking state: DOF poses + per-link histograms.
+
+    ``joint2parent`` follows ops/kinematics.py's convention (the root link's parent
+    frame is the camera frame); bodies are flattened link-major, i.e. body index
+    b == s * NL + l for structure s, link l.
+    """
+
+    joint2parent: jnp.ndarray  # (S, NL, 4, 4)
+    histogram_f: jnp.ndarray   # (S, NL, n_bins^3)
+    histogram_b: jnp.ndarray   # (S, NL, n_bins^3)
+
+
+def _kinematic_flat_poses(kin, joint2parent):
+    b2c = jax.vmap(kin_ops.forward_kinematics)(kin, joint2parent)  # (S, NL, 4, 4)
+    s, nl = b2c.shape[0], b2c.shape[1]
+    return b2c, b2c.reshape(s * nl, 4, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("pcfg",))
+def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
+                             model: RegionModelArrays,
+                             kin: kin_ops.KinematicModel,
+                             state: KinematicTrackingState, scene_geom=None,
+                             extra_occluder_poses=None,
+                             handle_occlusions=None) -> KinematicTrackingState:
+    """One tracking cycle for S articulated structures of NL links each.
+
+    The TPU analogue of Tracker::ExecuteTrackingStep over kinematic structures
+    (tracker.cpp:344-364 + optimizer.cpp:144-167): per-link region terms feed the
+    batched adjoint-chain KKT solve of ops/kinematics.py; constraints and soft
+    constraints from the KinematicModel are applied every update iteration.
+
+    images: (S, H, W, 3) uint8 (one camera per structure).
+    model: RegionModelArrays with B == S * NL link-major bodies (pad missing links
+    with any model; kin.link_valid masks their contribution).
+    scene_geom: optional SceneGeometry with B == S * NL scenes whose body slots
+    0..NL-1 are the structure's links (owner == link index) and slots NL.. are
+    static occluders posed by extra_occluder_poses (S, NE, 4, 4); enables
+    modeled occlusions / region checking between the links themselves.
+    """
+    cfg = pcfg.cfg
+    fu, fv, ppu, ppv = intr
+    s, nl = kin.parent.shape[0], kin.parent.shape[1]
+    planar = _planar_u8(images)
+    height, width = planar.shape[2], planar.shape[3]
+    n_lines = jnp.int32(cfg.n_lines_max)
+    render_scene = pcfg.needs_scene_render and scene_geom is not None
+    if handle_occlusions is None:
+        handle_occlusions = jnp.asarray(True)
+
+    jp = state.joint2parent
+    n_hist = state.histogram_f.shape[-1]
+    hist_f = state.histogram_f.reshape(s * nl, n_hist)
+    hist_b = state.histogram_b.reshape(s * nl, n_hist)
+    images_flat = jnp.repeat(images, nl, axis=0)
+
+    b2c, pose_flat = _kinematic_flat_poses(kin, jp)
+    bin_crop, bin_cropT, corner_u, corner_v = _prepare_crops(
+        pcfg, intr, images_flat, pose_flat)
+    rtab = region_fast.ratio_table(hist_f, hist_b)
+
+    def scene_render(b2c):
+        # Per-link focused render of the WHOLE structure (+ extra occluders): the
+        # links occlude each other, the dominant occlusion source in articulated
+        # scenes (Mb-ICG).  scene_poses: (S*NL, NO, 4, 4).
+        scene_poses = jnp.broadcast_to(b2c[:, None], (s, nl, nl, 4, 4))
+        if extra_occluder_poses is not None:
+            ne = extra_occluder_poses.shape[1]
+            extra = jnp.broadcast_to(extra_occluder_poses[:, None],
+                                     (s, nl, ne, 4, 4))
+            scene_poses = jnp.concatenate([scene_poses, extra], axis=2)
+        scene_poses = scene_poses.reshape(s * nl, -1, 4, 4)
+        return occlusion_ops.focused_render(
+            scene_geom, scene_poses, intr, width, height,
+            pcfg.focused_image_size, pcfg.z_min, pcfg.z_max,
+            pcfg.occlusion_raster_chunk)
+
+    for corr_iteration in range(pcfg.n_corr_iterations):
+        scale, std = pcfg.iteration_scale(corr_iteration)
+        b2c, pose_flat = _kinematic_flat_poses(kin, jp)
+        region_check = modeled = None
+        if render_scene:
+            rend = scene_render(b2c)
+            if pcfg.region_checking:
+                region_check = RegionCheckInputs(
+                    rend.region_sil, rend.corner_u, rend.corner_v, rend.scale,
+                    scene_geom.region_id, rend.body_visible)
+            if pcfg.region_model_occlusions:
+                modeled = ModeledOcclusionInputs(
+                    rend.depth, rend.corner_u, rend.corner_v, rend.scale,
+                    rend.body_visible)
+        points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, pose_flat)
+        lines = _region_terms(pcfg, intr, scale, points, pose_flat, n_lines,
+                              bin_crop, bin_cropT, rtab, corner_u, corner_v,
+                              width, height, region_check=region_check,
+                              modeled_occlusion=modeled,
+                              handle_occlusions=handle_occlusions)
+        for update_iteration in range(pcfg.n_update_iterations):
+            b2c, pose_flat = _kinematic_flat_poses(kin, jp)
+            gradient, hessian = jax.vmap(
+                lambda ln, p: region_fast.gradient_hessian_cl(
+                    cfg, ln, p, fu, fv, ppu, ppv, std,
+                    update_iteration < cfg.n_global_iterations)
+            )(lines, pose_flat)
+            jp = kin_ops.update_structures(
+                kin, jp, gradient.reshape(s, nl, 6),
+                hessian.reshape(s, nl, 6, 6),
+                pcfg.tikhonov_rotation, pcfg.tikhonov_translation)
+
+    _, pose_flat = _kinematic_flat_poses(kin, jp)
+    points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, pose_flat)
+    mem_f, mem_b = _histogram_memories(pcfg, intr, points, pose_flat, n_lines,
+                                       bin_crop, bin_cropT, rtab,
+                                       corner_u, corner_v, width, height)
+    hist_f = jax.vmap(lambda h, m: hist_ops.calculate_histogram(
+        h, m, pcfg.learning_rate_f))(hist_f, mem_f)
+    hist_b = jax.vmap(lambda h, m: hist_ops.calculate_histogram(
+        h, m, pcfg.learning_rate_b))(hist_b, mem_b)
+    return KinematicTrackingState(jp, hist_f.reshape(s, nl, n_hist),
+                                  hist_b.reshape(s, nl, n_hist))
+
+
+def initialize_kinematic_histograms(pcfg: PipelineConfig, intr, images,
+                                    model: RegionModelArrays, kin,
+                                    joint2parent) -> KinematicTrackingState:
+    """StartModality for articulated structures (histograms at the initial DOF)."""
+    jp = jnp.asarray(joint2parent)
+    s, nl = jp.shape[0], jp.shape[1]
+    _, pose_flat = _kinematic_flat_poses(kin, jp)
+    images_flat = jnp.repeat(jnp.asarray(images), nl, axis=0)
+    st = initialize_histograms(pcfg, intr, images_flat, model, pose_flat)
+    n_hist = st.histogram_f.shape[-1]
+    return KinematicTrackingState(jp, st.histogram_f.reshape(s, nl, n_hist),
+                                  st.histogram_b.reshape(s, nl, n_hist))
+
+
+def kinematic_body_poses(kin, state: KinematicTrackingState):
+    """Per-link body2camera poses (S, NL, 4, 4) from the DOF state."""
+    b2c, _ = _kinematic_flat_poses(kin, state.joint2parent)
+    return b2c
