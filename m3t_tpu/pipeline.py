@@ -505,7 +505,8 @@ class MultiCameraState(NamedTuple):
     histogram_b: jnp.ndarray  # (B, C, n_bins^3)
 
 
-def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr):
+def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
+                       with_depth: bool = False, with_scene: bool = False):
     """Build a pjit-ted multi-camera tracking cycle over a (data, camera) mesh.
 
     Bodies are sharded across the ``data`` axis; each body is observed by ``camera``-axis
@@ -513,8 +514,11 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr):
     over ICI before the shared Newton step — the TPU-native analogue of the reference's
     multi-camera modality fusion (one Link summing several modalities,
     link.cpp:184-193).  The per-camera computation is the FULL single-chip cycle
-    semantics: every correspondence iteration, global and local update iterations, and
-    per-camera histogram adaptation.
+    semantics: every correspondence iteration, global and local update iterations,
+    per-camera histogram adaptation, optional ICG depth fusion (``with_depth``), and
+    optional on-device occlusion rendering / region checking (``with_scene`` + the
+    PipelineConfig occlusion flags) — for C == 1 the result is bit-identical to
+    :func:`tracking_cycle` (tested in tests/test_parallel.py).
 
     Inputs of the returned function:
       images: (B, C, H, W, 3) uint8, sharded ("data", "camera")
@@ -522,6 +526,10 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr):
       model: RegionModelArrays sharded ("data",) on the body axis
       state: MultiCameraState with pose sharded ("data",) and histograms
              sharded ("data", "camera")
+      with_depth adds (depth_images (B, C, Hd, Wd) u16, depth_scale scalar,
+      depth_model DepthModelArrays sharded ("data",)); with_scene adds
+      (scene_geom SceneGeometry sharded ("data",), occluder_poses (B, NO-1, 4, 4)
+      in the REFERENCE camera frame, sharded ("data",)).
     """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
@@ -529,9 +537,17 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr):
     cfg = pcfg.cfg
     fu, fv, ppu, ppv = intr
 
-    def per_shard(images, cam2ref, model, pose, hist_f, hist_b):
+    def per_shard(images, cam2ref, model, pose, hist_f, hist_b, *extra):
         # Local shapes: images (b, c, H, W, 3); cam2ref (c, 4, 4);
         # pose (b, 4, 4); hist_* (b, c, N).
+        extra = list(extra)
+        depth_images = depth_scale = depth_model = None
+        scene_geom = occluder_poses = None
+        if with_depth:
+            depth_images, depth_scale, depth_model = extra[:3]
+            extra = extra[3:]
+        if with_scene:
+            scene_geom, occluder_poses = extra[:2]
         b, c = images.shape[0], images.shape[1]
         height, width = images.shape[2], images.shape[3]
         n_lines = jnp.int32(cfg.n_lines_max)
@@ -543,10 +559,28 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr):
         hist_b_l = flat(hist_b)
         model_f = jax.tree_util.tree_map(
             lambda a: jnp.repeat(a, c, axis=0), model)
+        depth_images_f = flat(depth_images) if depth_images is not None else None
+        depth_model_f = (jax.tree_util.tree_map(
+            lambda a: jnp.repeat(a, c, axis=0), depth_model)
+            if depth_model is not None else None)
+        scene_geom_f = (jax.tree_util.tree_map(
+            lambda a: jnp.repeat(a, c, axis=0), scene_geom)
+            if scene_geom is not None else None)
+        render_scene = pcfg.needs_scene_render and scene_geom_f is not None
+        handle_occlusions = jnp.asarray(True)
 
         def cam_poses(pose):
             # (b, c, 4, 4) -> flat (b*c, 4, 4): body pose in each camera's frame.
             return jnp.einsum("cij,bjk->bcik", ref2cam, pose).reshape(b * c, 4, 4)
+
+        def cam_scene_poses(pose):
+            # Scene body poses per (body, camera): slot 0 tracked body + occluders,
+            # all mapped from the reference frame into each camera's frame.
+            scene = pose[:, None]
+            if occluder_poses is not None:
+                scene = jnp.concatenate([scene, occluder_poses], axis=1)
+            return jnp.einsum("cij,bojk->bcoik", ref2cam,
+                              scene).reshape(b * c, -1, 4, 4)
 
         pose_cam = cam_poses(pose)
         bin_crop, bin_cropT, corner_u, corner_v = _prepare_crops(
@@ -556,10 +590,56 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr):
         for corr_iteration in range(pcfg.n_corr_iterations):
             scale, std = pcfg.iteration_scale(corr_iteration)
             pose_cam = cam_poses(pose)
+            region_check = modeled = measured = None
+            if render_scene:
+                rend = occlusion_ops.focused_render(
+                    scene_geom_f, cam_scene_poses(pose), intr, width, height,
+                    pcfg.focused_image_size, pcfg.z_min, pcfg.z_max,
+                    pcfg.occlusion_raster_chunk)
+                if pcfg.region_checking:
+                    region_check = RegionCheckInputs(
+                        rend.region_sil, rend.corner_u, rend.corner_v, rend.scale,
+                        scene_geom_f.region_id, rend.body_visible)
+                if pcfg.region_model_occlusions:
+                    modeled = ModeledOcclusionInputs(
+                        rend.depth, rend.corner_u, rend.corner_v, rend.scale,
+                        rend.body_visible)
+            if pcfg.region_measure_occlusions and depth_images_f is not None:
+                dfu, dfv, dppu, dppv = depth_intr
+                bc_ = lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32),
+                                                 (b * c,))
+                measured = MeasuredOcclusionInputs(
+                    depth_images_f, pose_cam, bc_(dfu), bc_(dfv), bc_(dppu),
+                    bc_(dppv), bc_(depth_scale))
             points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model_f, pose_cam)
             lines = _region_terms(pcfg, intr, scale, points, pose_cam, n_lines,
                                   bin_crop, bin_cropT, rtab, corner_u, corner_v,
-                                  width, height)
+                                  width, height, region_check=region_check,
+                                  measured_occlusion=measured,
+                                  modeled_occlusion=modeled,
+                                  handle_occlusions=handle_occlusions)
+            if with_depth and depth_images_f is not None:
+                cd, depth_std = pcfg.iteration_depth(corr_iteration)
+                dfu, dfv, dppu, dppv = depth_intr
+                d_modeled = d_sil = None
+                if pcfg.depth_model_occlusions and render_scene:
+                    d_modeled = depth_fn.DepthModeledOcclusionInputs(
+                        rend.depth, rend.corner_u, rend.corner_v, rend.scale,
+                        rend.body_visible)
+                if pcfg.depth_silhouette_check and render_scene:
+                    d_sil = depth_fn.SilhouetteCheckInputs(
+                        rend.body_sil, rend.corner_u, rend.corner_v, rend.scale,
+                        scene_geom_f.body_id, rend.body_visible)
+                depth_points = jax.vmap(
+                    lambda dimg, dmdl, p, dmo, dsc:
+                    depth_fn.calculate_correspondences(
+                        pcfg.depth_cfg, cd, _select_depth_view(dmdl, p),
+                        jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
+                        dfu, dfv, dppu, dppv, depth_images_f.shape[2],
+                        depth_images_f.shape[1], depth_scale, handle_occlusions,
+                        measure_occlusions=pcfg.depth_measure_occlusions,
+                        modeled_occlusion=dmo, silhouette_check=dsc)
+                )(depth_images_f, depth_model_f, pose_cam, d_modeled, d_sil)
             for update_iteration in range(pcfg.n_update_iterations):
                 pose_cam = cam_poses(pose)
                 g_c, h_c = jax.vmap(
@@ -567,6 +647,13 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr):
                         cfg, ln, p, fu, fv, ppu, ppv, std,
                         update_iteration < cfg.n_global_iterations)
                 )(lines, pose_cam)
+                if with_depth and depth_images_f is not None:
+                    dg, dh = jax.vmap(
+                        lambda dp, p: depth_fn.calculate_gradient_and_hessian(
+                            dp, p, depth_std)
+                    )(depth_points, pose_cam)
+                    g_c = g_c + dg
+                    h_c = h_c + dh
                 # Gradient/Hessian live in the BODY frame (modality.h:135-136), so
                 # contributions from different cameras sum directly.
                 g = jnp.sum(g_c.reshape(b, c, 6), axis=1)
@@ -590,22 +677,33 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr):
     spec_bc = P("data", "camera")
     spec_b = P("data")
     spec_c = P("camera")
+    spec_r = P()
     model_spec = RegionModelArrays(*([spec_b] * len(RegionModelArrays._fields)))
+
+    in_specs = [spec_bc, spec_c, model_spec, spec_b, spec_bc, spec_bc]
+    if with_depth:
+        depth_model_spec = DepthModelArrays(
+            *([spec_b] * len(DepthModelArrays._fields)))
+        in_specs += [spec_bc, spec_r, depth_model_spec]
+    if with_scene:
+        scene_spec = occlusion_ops.SceneGeometry(
+            *([spec_b] * len(occlusion_ops.SceneGeometry._fields)))
+        in_specs += [scene_spec, spec_b]
 
     sharded = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(spec_bc, spec_c, model_spec, spec_b, spec_bc, spec_bc),
+        in_specs=tuple(in_specs),
         out_specs=(spec_b, spec_bc, spec_bc),
         # pallas_call outputs carry no varying-manual-axes metadata yet.
         check_vma=False,
     )
 
     @jax.jit
-    def cycle(images, cam2ref_poses, model,
-              state: MultiCameraState) -> MultiCameraState:
+    def cycle(images, cam2ref_poses, model, state: MultiCameraState,
+              *extra) -> MultiCameraState:
         pose, hf, hb = sharded(images, cam2ref_poses, model,
                                state.body2reference_pose, state.histogram_f,
-                               state.histogram_b)
+                               state.histogram_b, *extra)
         return MultiCameraState(pose, hf, hb)
 
     return cycle
