@@ -69,6 +69,13 @@ class RBOTEvaluator:
         self.use_region_checking = False
         self.use_texture_modality = False
         self.model_occlusions = False
+        # TPU throughput path: run every (sequence, body) combination as ONE batch
+        # through pipeline.tracking_cycle (the analogue of the reference's
+        # `#pragma omp parallel for` over runs, ycb_evaluator.cpp:210).  The
+        # reset-to-GT protocol stays host-side (it IS the metric).  Occlusion
+        # sequences fall back to the object-graph path.
+        self.use_fused_pipeline = False
+        self.pipeline_config = None  # Optional m3t_tpu.pipeline.PipelineConfig
         # Callables to tweak object parameters before SetUp (mirrors *_setter_ hooks).
         self.tracker_setter = lambda tracker: None
         self.region_modality_setter = lambda modality: None
@@ -193,13 +200,22 @@ class RBOTEvaluator:
                                if any(self.sequence_occlusions) else []))}
         models = {name: self._make_model(body) for name, body in bodies.items()}
 
+        fused_runs = []
         for sequence_name, occlusions in zip(self.sequence_names,
                                              self.sequence_occlusions):
             for body_name in self.body_names:
+                if self.use_fused_pipeline and not occlusions:
+                    fused_runs.append((sequence_name, body_name))
+                    continue
                 result = self._evaluate_sequence(sequence_name, body_name,
                                                  occlusions, models)
                 results[(sequence_name, body_name)] = result
                 print(f"{sequence_name} {body_name}: "
+                      f"success = {result['tracking_success']:.4f}")
+        if fused_runs:
+            for run, result in self._evaluate_fused(fused_runs, models).items():
+                results[run] = result
+                print(f"{run[0]} {run[1]} (fused): "
                       f"success = {result['tracking_success']:.4f}")
         success = float(np.mean([r["tracking_success"] for r in results.values()]))
         mean_time = float(np.mean([r["mean_cycle_time_s"] for r in results.values()]))
@@ -259,6 +275,98 @@ class RBOTEvaluator:
             "mean_rotation_error": float(np.mean(rotation_errors)),
             "mean_cycle_time_s": float(np.mean(cycle_times)),
             "n_frames": len(successes),
+        }
+
+    def _evaluate_fused(self, runs, models) -> dict:
+        """All runs as one batch through the fused TPU pipeline.
+
+        One pipeline.tracking_cycle call per frame covers every (sequence, body)
+        run at once; per-frame success, reset-to-GT (pose + histogram re-init),
+        and error bookkeeping happen host-side exactly as in _evaluate_sequence.
+        """
+        import jax.numpy as jnp
+
+        from m3t_tpu import pipeline
+
+        pcfg = self.pipeline_config or pipeline.PipelineConfig()
+        n_lines = pcfg.cfg.n_lines_max
+        b = len(runs)
+        cameras = []
+        for sequence_name, body_name in runs:
+            camera = LoaderColorCamera(
+                f"camera_{sequence_name}_{body_name}",
+                load_directory=os.path.join(self.dataset_directory, body_name,
+                                            "frames"),
+                intrinsics=self.intrinsics, image_name_pre=sequence_name,
+                load_index=0, n_leading_zeros=4)
+            if not camera.SetUp():
+                raise RuntimeError(f"Could not set up camera for {sequence_name}")
+            cameras.append(camera)
+
+        arrays = pipeline.RegionModelArrays.from_models(
+            [models[body_name] for _, body_name in runs], n_lines)
+        intr = (np.float32(self.intrinsics.fu), np.float32(self.intrinsics.fv),
+                np.float32(self.intrinsics.ppu), np.float32(self.intrinsics.ppv))
+        poses_gt = self.poses_gt_first
+
+        def batch_images():
+            return jnp.asarray(np.stack([np.asarray(c.image) for c in cameras]))
+
+        # SetUp loaded frame 0 on every camera: StartModalities at GT pose 0.
+        images = batch_images()
+        init_poses = jnp.asarray(np.stack([poses_gt[0]] * b))
+        state = pipeline.initialize_histograms(pcfg, intr, images, arrays,
+                                               init_poses)
+
+        stats = [{"successes": [], "translation_errors": [], "rotation_errors": [],
+                  "cycle_times": []} for _ in runs]
+        for i in range(self.n_frames):
+            ok = all(c.UpdateImage() for c in cameras)
+            if not ok:
+                break
+            images = batch_images()
+            begin = time.perf_counter()
+            state = pipeline.tracking_cycle(pcfg, intr, images, arrays, state)
+            poses_est = np.asarray(state.body2camera_pose)
+            elapsed = time.perf_counter() - begin
+
+            pose_gt = poses_gt[i + 1]
+            reset_mask = np.zeros(b, bool)
+            for r in range(b):
+                t_err = metrics.translation_error(poses_est[r], pose_gt)
+                r_err = metrics.rotation_error(poses_est[r], pose_gt)
+                success = (t_err <= self.translation_error_threshold
+                           and r_err <= self.rotation_error_threshold)
+                stats[r]["successes"].append(float(success))
+                stats[r]["translation_errors"].append(t_err)
+                stats[r]["rotation_errors"].append(r_err)
+                stats[r]["cycle_times"].append(elapsed / b)
+                reset_mask[r] = not success
+            if reset_mask.any():
+                # Reset failed runs: GT pose + histogram re-initialization on the
+                # current frame (the fused StartModalities analogue).
+                reset_poses = jnp.asarray(np.stack([pose_gt] * b))
+                reset_state = pipeline.initialize_histograms(
+                    pcfg, intr, images, arrays, reset_poses)
+                mask = jnp.asarray(reset_mask)
+                state = pipeline.TrackingState(
+                    jnp.where(mask[:, None, None], reset_state.body2camera_pose,
+                              state.body2camera_pose),
+                    jnp.where(mask[:, None], reset_state.histogram_f,
+                              state.histogram_f),
+                    jnp.where(mask[:, None], reset_state.histogram_b,
+                              state.histogram_b))
+
+        return {
+            run: {
+                "tracking_success": float(np.mean(s["successes"]))
+                if s["successes"] else 0.0,
+                "mean_translation_error": float(np.mean(s["translation_errors"])),
+                "mean_rotation_error": float(np.mean(s["rotation_errors"])),
+                "mean_cycle_time_s": float(np.mean(s["cycle_times"])),
+                "n_frames": len(s["successes"]),
+            }
+            for run, s in zip(runs, stats)
         }
 
     def SaveResults(self, path: str) -> None:  # noqa: N802
