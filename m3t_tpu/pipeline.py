@@ -35,6 +35,8 @@ from m3t_tpu.ops import histogram as hist_ops
 from m3t_tpu.ops import kinematics as kin_ops
 from m3t_tpu.ops import occlusion as occlusion_ops
 from m3t_tpu.ops import region_fast
+from m3t_tpu.ops import texture_fn
+from m3t_tpu.ops.texture_fn import TexturePoints
 from m3t_tpu.ops.depth_fn import DepthConfig, DepthViewPoints
 from m3t_tpu.ops.region_fast import ViewPointsCL
 from m3t_tpu.ops.region_fn import (
@@ -152,6 +154,10 @@ class PipelineConfig(NamedTuple):
     # Occlusion handling / region checking (requires a SceneGeometry input; the
     # focused scene is re-rendered on device every correspondence iteration,
     # tracker.cpp:448-451).
+    # ICG+ texture fusion (host feature extraction feeding device GN terms).
+    use_texture: bool = False
+    texture_standard_deviations: tuple = (15.0, 5.0)
+    tukey_norm_constant: float = 20.0
     region_model_occlusions: bool = False
     region_measure_occlusions: bool = False
     region_checking: bool = False
@@ -317,7 +323,8 @@ def _histogram_memories(pcfg: PipelineConfig, intr, points, poses, n_lines,
 def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
                 state: TrackingState, depth_intr=None, depth_scale=None,
                 depth_images=None, depth_model=None, scene_geom=None,
-                occluder_poses=None, handle_occlusions=None) -> TrackingState:
+                occluder_poses=None, handle_occlusions=None,
+                texture_points=None) -> TrackingState:
     """Full tracking cycle for a batch (shared by jit and shard_map paths)."""
     cfg = pcfg.cfg
     fu, fv, ppu, ppv = intr
@@ -397,6 +404,9 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
                     measure_occlusions=pcfg.depth_measure_occlusions,
                     modeled_occlusion=dmo, silhouette_check=dsc)
             )(depth_images, depth_model, pose, d_modeled, d_sil)
+        if pcfg.use_texture and texture_points is not None:
+            tex_std = pcfg.texture_standard_deviations[
+                min(corr_iteration, len(pcfg.texture_standard_deviations) - 1)]
         for update_iteration in range(pcfg.n_update_iterations):
             gradient, hessian = jax.vmap(
                 lambda ln, p: region_fast.gradient_hessian_cl(
@@ -410,6 +420,14 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
                 )(depth_points, pose)
                 gradient = gradient + dg
                 hessian = hessian + dh
+            if pcfg.use_texture and texture_points is not None:
+                tg, th = jax.vmap(
+                    lambda tp, p: texture_fn.calculate_gradient_and_hessian(
+                        tp, p, fu, fv, ppu, ppv, tex_std,
+                        pcfg.tukey_norm_constant)
+                )(texture_points, pose)
+                gradient = gradient + tg
+                hessian = hessian + th
             pose = _solve_and_update(pcfg, gradient, hessian, pose)
 
     # CalculateResults: online histogram adaptation (tracker.cpp:503-517).
@@ -427,7 +445,7 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
 @functools.partial(jax.jit, static_argnames=("pcfg",))
 def tracking_cycle(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
                    state: TrackingState, scene_geom=None, occluder_poses=None,
-                   handle_occlusions=None) -> TrackingState:
+                   handle_occlusions=None, texture_points=None) -> TrackingState:
     """One full tracking cycle for a batch of bodies.
 
     images: (B, H, W, 3) or planar (B, 3, H, W) uint8.
@@ -439,7 +457,8 @@ def tracking_cycle(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
     """
     return _cycle_core(pcfg, intr, images, model, state, scene_geom=scene_geom,
                        occluder_poses=occluder_poses,
-                       handle_occlusions=handle_occlusions)
+                       handle_occlusions=handle_occlusions,
+                       texture_points=texture_points)
 
 
 @functools.partial(jax.jit, static_argnames=("pcfg",))
@@ -447,7 +466,7 @@ def tracking_cycle_rgbd(pcfg: PipelineConfig, intr, depth_intr, depth_scale, ima
                         depth_images, model: RegionModelArrays,
                         depth_model: DepthModelArrays,
                         state: TrackingState, scene_geom=None, occluder_poses=None,
-                        handle_occlusions=None) -> TrackingState:
+                        handle_occlusions=None, texture_points=None) -> TrackingState:
     """ICG-style region+depth fused cycle for a batch of bodies.
 
     depth_images (B, Hd, Wd) uint16 with shared depth camera intrinsics/scale
@@ -459,7 +478,8 @@ def tracking_cycle_rgbd(pcfg: PipelineConfig, intr, depth_intr, depth_scale, ima
                        depth_scale=depth_scale, depth_images=depth_images,
                        depth_model=depth_model, scene_geom=scene_geom,
                        occluder_poses=occluder_poses,
-                       handle_occlusions=handle_occlusions)
+                       handle_occlusions=handle_occlusions,
+                       texture_points=texture_points)
 
 
 def initialize_histograms(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
@@ -872,3 +892,23 @@ def kinematic_body_poses(kin, state: KinematicTrackingState):
     """Per-link body2camera poses (S, NL, 4, 4) from the DOF state."""
     b2c, _ = _kinematic_flat_poses(kin, state.joint2parent)
     return b2c
+
+
+def texture_points_from_modalities(modalities, k_max: int) -> TexturePoints:
+    """Pack host TextureModality correspondences into a fixed-shape TexturePoints.
+
+    Call each modality's CalculateCorrespondences first (feature detection +
+    keyframe matching run on host, like the reference's CPU/CUDA OpenCV path);
+    this pads/truncates the matched 3D-2D pairs to ``k_max`` for the device GN
+    terms of the fused ICG+ cycle.
+    """
+    b = len(modalities)
+    p3 = np.zeros((b, k_max, 3), np.float32)
+    p2 = np.zeros((b, k_max, 2), np.float32)
+    valid = np.zeros((b, k_max), bool)
+    for i, m in enumerate(modalities):
+        n = min(len(m.data_points_3d), k_max)
+        p3[i, :n] = m.data_points_3d[:n]
+        p2[i, :n] = m.data_points_2d[:n]
+        valid[i, :n] = True
+    return TexturePoints(jnp.asarray(p3), jnp.asarray(p2), jnp.asarray(valid))

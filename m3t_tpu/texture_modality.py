@@ -48,6 +48,14 @@ class TextureModality(Modality):
         self.sift_contrast_threshold = 0.04
         self.sift_edge_threshold = 10.0
         self.sift_sigma = 0.7
+        self.daisy_radius = 7.0
+        self.daisy_q_radius = 3
+        self.daisy_q_theta = 4
+        self.daisy_q_hist = 8
+        self.freak_orientation_normalized = True
+        self.freak_scale_normalized = True
+        self.freak_pattern_scale = 18.0
+        self.freak_n_octaves = 4
 
         self.measure_occlusions = False
         self.measured_occlusion_radius = 0.01
@@ -107,6 +115,21 @@ class TextureModality(Modality):
             self.orb_n_features = int(g("orb_n_features", self.orb_n_features))
             self.orb_scale_factor = float(g("orb_scale_factor", self.orb_scale_factor))
             self.orb_n_levels = int(g("orb_n_levels", self.orb_n_levels))
+            self.brisk_threshold = int(g("brisk_threshold", self.brisk_threshold))
+            self.brisk_octave = int(g("brisk_octave", self.brisk_octave))
+            self.brisk_pattern_scale = float(g("brisk_pattern_scale",
+                                               self.brisk_pattern_scale))
+            self.daisy_radius = float(g("daisy_radius", self.daisy_radius))
+            self.daisy_q_radius = int(g("daisy_q_radius", self.daisy_q_radius))
+            self.daisy_q_theta = int(g("daisy_q_theta", self.daisy_q_theta))
+            self.daisy_q_hist = int(g("daisy_q_hist", self.daisy_q_hist))
+            self.freak_orientation_normalized = bool(g(
+                "freak_orientation_normalized", self.freak_orientation_normalized))
+            self.freak_scale_normalized = bool(g(
+                "freak_scale_normalized", self.freak_scale_normalized))
+            self.freak_pattern_scale = float(g("freak_pattern_scale",
+                                               self.freak_pattern_scale))
+            self.freak_n_octaves = int(g("freak_n_octaves", self.freak_n_octaves))
             self.measured_occlusion_radius = float(g(
                 "measured_occlusion_radius", self.measured_occlusion_radius))
             self.measured_occlusion_threshold = float(g(
@@ -159,6 +182,43 @@ class TextureModality(Modality):
                 edgeThreshold=self.sift_edge_threshold, sigma=self.sift_sigma)
             self._descriptor = self._detector
             self._matcher = cv2.BFMatcher(cv2.NORM_L2)
+        elif dtype == "DAISY":
+            # Reference: ORB detector + DAISY descriptor, L2 matching
+            # (texture_modality.cpp:748-753, 794-797).  Falls back to the native
+            # implementation when OpenCV lacks the contrib module.
+            from m3t_tpu.utils import features
+            self._detector = cv2.ORB_create(
+                nfeatures=self.orb_n_features, scaleFactor=self.orb_scale_factor,
+                nlevels=self.orb_n_levels)
+            if hasattr(cv2, "xfeatures2d"):
+                self._descriptor = cv2.xfeatures2d.DAISY_create(
+                    radius=self.daisy_radius, q_radius=self.daisy_q_radius,
+                    q_theta=self.daisy_q_theta, q_hist=self.daisy_q_hist)
+            else:
+                self._descriptor = features.DaisyDescriptor(
+                    radius=self.daisy_radius, q_radius=self.daisy_q_radius,
+                    q_theta=self.daisy_q_theta, q_hist=self.daisy_q_hist)
+            self._matcher = cv2.BFMatcher(cv2.NORM_L2)
+        elif dtype == "FREAK":
+            # Reference: ORB detector + FREAK descriptor, Hamming matching
+            # (texture_modality.cpp:754-760).
+            from m3t_tpu.utils import features
+            self._detector = cv2.ORB_create(
+                nfeatures=self.orb_n_features, scaleFactor=self.orb_scale_factor,
+                nlevels=self.orb_n_levels)
+            if hasattr(cv2, "xfeatures2d"):
+                self._descriptor = cv2.xfeatures2d.FREAK_create(
+                    orientationNormalized=self.freak_orientation_normalized,
+                    scaleNormalized=self.freak_scale_normalized,
+                    patternScale=self.freak_pattern_scale,
+                    nOctaves=self.freak_n_octaves)
+            else:
+                self._descriptor = features.FreakDescriptor(
+                    orientation_normalized=self.freak_orientation_normalized,
+                    scale_normalized=self.freak_scale_normalized,
+                    pattern_scale=self.freak_pattern_scale,
+                    n_octaves=self.freak_n_octaves)
+            self._matcher = cv2.BFMatcher(cv2.NORM_HAMMING)
         else:
             print(f"Descriptor type {self.descriptor_type} not supported")
             return False
