@@ -75,6 +75,13 @@ class DepthModality(Modality):
         self.depth_renderer_ptr = None
         self.silhouette_renderer_ptr = None
 
+        # Visualization flags (depth_modality.h:151-170).
+        self.visualize_correspondences_correspondence = False
+        self.visualize_points_correspondence = False
+        self.visualize_points_result = False
+        self.visualization_min_depth = 0.0
+        self.visualization_max_depth = 1.0
+
         self._cfg: DepthConfig | None = None
         self.data_points = None
         self.first_iteration = 0
@@ -297,6 +304,68 @@ class DepthModality(Modality):
 
     def CalculateResults(self, iteration: int) -> bool:  # noqa: N802
         return self.set_up
+
+    # -- visualization (depth_modality.cpp:317-331, 383-395) ---------------------------
+
+    def _depth_points_image(self, draw_correspondences: bool) -> "np.ndarray":
+        import cv2
+
+        from m3t_tpu.utils import visualization
+
+        cam = self.depth_camera_ptr
+        intr = cam.intrinsics
+        base = cv2.cvtColor(
+            cam.NormalizedDepthImage(self.visualization_min_depth,
+                                     self.visualization_max_depth),
+            cv2.COLOR_GRAY2BGR)
+        pose = cam.world2camera_pose @ self.body_ptr.body2world_pose
+        valid = np.asarray(self.data_points.valid)
+        centers = np.asarray(self.data_points.center_f_body)[valid]
+        centers_cam = centers @ pose[:3, :3].T + pose[:3, 3]
+        visualization.draw_points(base, centers_cam, intr.fu, intr.fv,
+                                  intr.ppu, intr.ppv)
+        if draw_correspondences:
+            corr = np.asarray(
+                self.data_points.correspondence_center_f_camera)[valid]
+            visualization.draw_points(base, corr, intr.fu, intr.fv, intr.ppu,
+                                      intr.ppv, color=(61, 63, 179))
+        return base
+
+    def _show(self, title: str, save_idx: int, image) -> None:
+        from m3t_tpu.utils import visualization
+
+        visualization.show_and_save_image(
+            f"{self.name}_{title}", save_idx, image, self.display_visualization,
+            self.save_visualizations, self.save_directory, self.save_image_type)
+
+    def VisualizeCorrespondences(self, save_idx: int) -> bool:  # noqa: N802
+        if not self.set_up:
+            return False
+        if not (self.display_visualization or self.save_visualizations):
+            return True
+        if self.data_points is None:
+            return True
+        if self.visualize_correspondences_correspondence:
+            self._show("correspondences_correspondence", save_idx,
+                       self._depth_points_image(True))
+        if self.visualize_points_correspondence:
+            self._show("depth_image_correspondence", save_idx,
+                       self._depth_points_image(False))
+        return True
+
+    def VisualizeResults(self, save_idx: int) -> bool:  # noqa: N802
+        if not self.set_up:
+            return False
+        if self.visualize_pose_result:
+            print(f"body2world_pose {self.name}:\n{self.body_ptr.body2world_pose}")
+        if not (self.display_visualization or self.save_visualizations):
+            return True
+        if self.data_points is None:
+            return True
+        if self.visualize_points_result:
+            self._show("depth_image_result", save_idx,
+                       self._depth_points_image(False))
+        return True
 
     # -- referenced objects ------------------------------------------------------------
 

@@ -22,7 +22,7 @@ from m3t_tpu.ops.region_fn import (
     RegionConfig,
     ViewPoints,
 )
-from m3t_tpu.utils import yaml_io
+from m3t_tpu.utils import visualization, yaml_io
 
 
 @functools.partial(
@@ -119,6 +119,17 @@ class RegionModality(Modality):
         self.use_region_checking = False
         self.use_shared_color_histograms = False
 
+        # Per-modality visualization flags (region_modality.h:115-139).
+        self.visualize_lines_correspondence = False
+        self.visualize_points_correspondence = False
+        self.visualize_points_histogram_image_correspondence = False
+        self.visualize_points_optimization = False
+        self.visualize_points_histogram_image_optimization = False
+        self.visualize_points_result = False
+        self.visualize_points_histogram_image_result = False
+        self.visualization_min_depth = 0.0
+        self.visualization_max_depth = 1.0
+
         # Internal state
         self._cfg: RegionConfig | None = None
         self._lookup_f = None
@@ -205,6 +216,22 @@ class RegionModality(Modality):
                 "modeled_occlusion_threshold", self.modeled_occlusion_threshold))
             self.n_unoccluded_iterations = int(g("n_unoccluded_iterations",
                                                  self.n_unoccluded_iterations))
+            for flag in ("visualize_pose_result", "visualize_gradient_optimization",
+                         "visualize_hessian_optimization",
+                         "visualize_lines_correspondence",
+                         "visualize_points_correspondence",
+                         "visualize_points_histogram_image_correspondence",
+                         "visualize_points_optimization",
+                         "visualize_points_histogram_image_optimization",
+                         "visualize_points_result",
+                         "visualize_points_histogram_image_result",
+                         "display_visualization", "save_visualizations"):
+                setattr(self, flag, bool(g(flag, getattr(self, flag))))
+            self.visualization_min_depth = float(g(
+                "visualization_min_depth", self.visualization_min_depth))
+            self.visualization_max_depth = float(g(
+                "visualization_max_depth", self.visualization_max_depth))
+            self.save_directory = str(g("save_directory", self.save_directory))
             self.min_n_unoccluded_lines = int(g("min_n_unoccluded_lines",
                                                 self.min_n_unoccluded_lines))
         finally:
@@ -480,6 +507,93 @@ class RegionModality(Modality):
         self._add_line_pixel_colors(handle_occlusions)
         if not self.use_shared_color_histograms:
             self.color_histograms_ptr.UpdateHistograms()
+        return True
+
+    # -- visualization (region_modality.cpp:467-481, 560-571, 585-596) -----------------
+
+    def _valid_centers_f_camera(self) -> np.ndarray:
+        pose = self._body2camera_pose()
+        centers = np.asarray(self.data_lines.center_f_body)
+        valid = np.asarray(self.data_lines.valid)
+        return centers[valid] @ pose[:3, :3].T + pose[:3, 3]
+
+    def _show(self, title: str, save_idx: int, image) -> None:
+        visualization.show_and_save_image(
+            f"{self.name}_{title}", save_idx, image, self.display_visualization,
+            self.save_visualizations, self.save_directory, self.save_image_type)
+
+    def _probability_image(self) -> np.ndarray:
+        hist = self.color_histograms_ptr
+        return visualization.probability_image(
+            np.asarray(self.color_camera_ptr.image), hist.histogram_f,
+            hist.histogram_b, self.n_histogram_bins)
+
+    def _points_image(self, base: np.ndarray) -> np.ndarray:
+        intr = self.color_camera_ptr.intrinsics
+        image = base.copy()
+        visualization.draw_points(image, self._valid_centers_f_camera(),
+                                  intr.fu, intr.fv, intr.ppu, intr.ppv)
+        return image
+
+    def VisualizeCorrespondences(self, save_idx: int) -> bool:  # noqa: N802
+        if not self.set_up:
+            return False
+        if not (self.display_visualization or self.save_visualizations):
+            return True
+        if self.data_lines is None:
+            return True
+        if self.visualize_lines_correspondence:
+            image = self._probability_image()
+            dl = self.data_lines
+            valid = np.asarray(dl.valid)
+            visualization.draw_correspondence_lines(
+                image, np.asarray(dl.center_u), np.asarray(dl.center_v),
+                np.asarray(dl.normal_u), np.asarray(dl.normal_v),
+                np.asarray(dl.distribution), valid, self._scale,
+                self.distribution_length)
+            self._show("lines_correspondence", save_idx, image)
+        if self.visualize_points_correspondence:
+            self._show("color_image_correspondence", save_idx,
+                       self._points_image(np.asarray(self.color_camera_ptr.image)))
+        if self.visualize_points_histogram_image_correspondence:
+            self._show("histogram_image_correspondence", save_idx,
+                       self._points_image(self._probability_image()))
+        return True
+
+    def VisualizeOptimization(self, save_idx: int) -> bool:  # noqa: N802
+        if not self.set_up:
+            return False
+        if self.visualize_gradient_optimization:
+            print(f"gradient {self.name}:\n{np.asarray(self.gradient)}")
+        if self.visualize_hessian_optimization:
+            print(f"hessian {self.name}:\n{np.asarray(self.hessian)}")
+        if not (self.display_visualization or self.save_visualizations):
+            return True
+        if self.data_lines is None:
+            return True
+        if self.visualize_points_optimization:
+            self._show("color_image_optimization", save_idx,
+                       self._points_image(np.asarray(self.color_camera_ptr.image)))
+        if self.visualize_points_histogram_image_optimization:
+            self._show("histogram_image_optimization", save_idx,
+                       self._points_image(self._probability_image()))
+        return True
+
+    def VisualizeResults(self, save_idx: int) -> bool:  # noqa: N802
+        if not self.set_up:
+            return False
+        if self.visualize_pose_result:
+            print(f"body2world_pose {self.name}:\n{self.body_ptr.body2world_pose}")
+        if not (self.display_visualization or self.save_visualizations):
+            return True
+        if self.data_lines is None:
+            return True
+        if self.visualize_points_result:
+            self._show("color_image_result", save_idx,
+                       self._points_image(np.asarray(self.color_camera_ptr.image)))
+        if self.visualize_points_histogram_image_result:
+            self._show("histogram_image_result", save_idx,
+                       self._points_image(self._probability_image()))
         return True
 
     # -- referenced objects (region_modality.cpp:618-646) ------------------------------

@@ -64,6 +64,10 @@ class TextureModality(Modality):
         self.modeled_occlusion_radius = 0.01
         self.modeled_occlusion_threshold = 0.03
 
+        # Visualization flags (texture_modality.h visualization section).
+        self.visualize_correspondences_correspondence = False
+        self.visualize_points_result = False
+
         self.depth_camera_ptr = None
         self.depth_renderer_ptr = None
 
@@ -492,6 +496,54 @@ class TextureModality(Modality):
         self.gradient = gradient.astype(np.float32)
         self.hessian = hessian.astype(np.float32)
         return True
+
+    def VisualizeCorrespondences(self, save_idx: int) -> bool:  # noqa: N802
+        if not self.set_up:
+            return False
+        if not (self.display_visualization or self.save_visualizations):
+            return True
+        if self.visualize_correspondences_correspondence:
+            self._show("correspondences_correspondence", save_idx,
+                       self._correspondence_image())
+        return True
+
+    def VisualizeResults(self, save_idx: int) -> bool:  # noqa: N802
+        if not self.set_up:
+            return False
+        if self.visualize_pose_result:
+            print(f"body2world_pose {self.name}:\n{self.body_ptr.body2world_pose}")
+        if not (self.display_visualization or self.save_visualizations):
+            return True
+        if self.visualize_points_result:
+            self._show("points_result", save_idx, self._correspondence_image())
+        return True
+
+    def _correspondence_image(self) -> np.ndarray:
+        """Matched keypoints (yellow) + reprojected keyframe points (red),
+        texture_modality.cpp visualization helpers."""
+        import cv2
+
+        from m3t_tpu.utils import visualization
+
+        image = np.asarray(self.color_camera_ptr.image).copy()
+        pose = self._body2camera_pose()
+        intr = self.color_camera_ptr.intrinsics
+        if len(self.data_points_3d):
+            c = self.data_points_3d @ pose[:3, :3].T + pose[:3, 3]
+            visualization.draw_points(image, c, intr.fu, intr.fv, intr.ppu,
+                                      intr.ppv, color=(61, 63, 179))
+            for uv in self.data_points_2d:
+                u, v = int(uv[0] + 0.5), int(uv[1] + 0.5)
+                if 0 <= u < image.shape[1] and 0 <= v < image.shape[0]:
+                    cv2.circle(image, (u, v), 1, (24, 184, 234), -1)
+        return image
+
+    def _show(self, title: str, save_idx: int, image) -> None:
+        from m3t_tpu.utils import visualization
+
+        visualization.show_and_save_image(
+            f"{self.name}_{title}", save_idx, image, self.display_visualization,
+            self.save_visualizations, self.save_directory, self.save_image_type)
 
     def CalculateResults(self, iteration: int) -> bool:  # noqa: N802
         if not self.set_up:
