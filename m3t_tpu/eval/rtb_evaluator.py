@@ -6,9 +6,10 @@ metric = per-body ADD / ADD-S AUC like YCB (rtb_evaluator.h:67-75).  Kinematic s
 come from generator YAML configs in the dataset; the four evaluation modes mirror the
 reference (independent bodies / projected kinematics / constrained / combined).
 
-Expected layout:
+Expected layout (rtb_evaluator.cpp:713-736):
   <dataset>/<object>/model/tracker_config/<mode>.yaml   generator config
-  <dataset>/<object>/<difficulty>/<depth>/<seq:03d>/    color + depth frames
+  <dataset>/<object>/<difficulty>/<seq:03d>/rgb/        color frames
+  <dataset>/<object>/<difficulty>/<seq:03d>/<depth>/    depth frames
   <dataset>/<object>/<difficulty>/<seq:03d>/poses_gt/<body>.txt  rows 9 rot + 3 trans
 """
 
@@ -85,15 +86,28 @@ class RTBEvaluator:
 
     def _evaluate_sequence(self, tracker, object_name, difficulty, depth_name,
                            seq) -> dict:
-        sequence_dir = os.path.join(self.dataset_directory, object_name, difficulty,
-                                    depth_name, f"{seq:03d}")
-        gt_dir = os.path.join(self.dataset_directory, object_name, difficulty,
-                              f"{seq:03d}", "poses_gt")
-        # Point loader cameras into the sequence directory.
+        sequence_base = os.path.join(self.dataset_directory, object_name,
+                                     difficulty, f"{seq:03d}")
+        color_dir = os.path.join(sequence_base, "rgb")
+        depth_dir = os.path.join(sequence_base, depth_name)
+        gt_dir = os.path.join(sequence_base, "poses_gt")
+        # SetRunConfiguration (rtb_evaluator.cpp:713-740): consume each loader
+        # camera's metafile once, then redirect it into the run's directories
+        # (SetUp would otherwise re-read load_directory from the metafile).
+        from m3t_tpu.camera import LoaderDepthCamera
+
+        tracker._assemble_derived_object_ptrs()  # populate camera_ptrs pre-SetUp
         for camera in tracker.camera_ptrs:
-            if hasattr(camera, "load_directory"):
-                camera.load_directory = sequence_dir
-                camera.load_index = 0
+            if not hasattr(camera, "load_directory"):
+                continue
+            if camera.metafile_path:
+                camera._load_loader_metadata(
+                    require_depth_scale=isinstance(camera, LoaderDepthCamera))
+                camera.metafile_path = None
+            camera.load_directory = (depth_dir
+                                     if isinstance(camera, LoaderDepthCamera)
+                                     else color_dir)
+            camera.load_index = 0
         if not tracker.SetUp():
             raise RuntimeError("tracker failed to set up")
 
