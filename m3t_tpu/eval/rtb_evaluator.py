@@ -97,6 +97,7 @@ class RTBEvaluator:
         from m3t_tpu.camera import LoaderDepthCamera
 
         tracker._assemble_derived_object_ptrs()  # populate camera_ptrs pre-SetUp
+        self.tracker_setter(tracker)
         for camera in tracker.camera_ptrs:
             if not hasattr(camera, "load_directory"):
                 continue

@@ -158,14 +158,16 @@ def _staircase_bins(crop_ref, cropT_ref, r0g, s0g, stg, udomg, dirg, kp: int, c:
 
 
 def _table_lookup(bins, table_ref):
-    """bins (R, 128) int32 in [0, 4096) -> values from (32, 128) f32 VMEM table.
+    """bins (R, 128) int32 in [0, rows*128) -> values from a (rows, 128) f32 VMEM
+    table ((32, 128) for the default 16^3 bins; (256, 128) for 32^3).
 
     The lane dimension must be 128 so indices address a full register row.
     """
+    rows = table_ref.shape[0]
     row = bins >> 7
     lane = bins & 127
     acc = jnp.zeros(bins.shape, jnp.float32)
-    for r in range(32):
+    for r in range(rows):
         t = jnp.broadcast_to(table_ref[r, :][None, :], bins.shape)
         acc = jnp.where(row == r, _ta(t, lane), acc)
     return acc
@@ -194,12 +196,13 @@ def sample_lines(params, bin_crop, bin_cropT, table, kp: int, output: str = "rat
 
     params: (B, 8, LP) f32 line parameters (rows _ROW_*).
     bin_crop/bin_cropT: (B, C, C) int32 flat histogram-bin crops.
-    table: (B, 32, 128) f32 per-bin values (ignored when output == 'bins').
+    table: (B, n_bins^3/128, 128) f32 per-bin values (ignored when output == 'bins').
     Returns (B, kp, LP): f32 ratio samples, or int32 bin indices (k in sublanes,
     lines in lanes).
     """
     b, _, lp = params.shape
     c = bin_crop.shape[-1]
+    t_rows = table.shape[-2]
     kern = functools.partial(_sample_kernel, kp=kp, lp=lp, c=c, output=output)
 
     def kernel(params_ref, crop_ref, cropT_ref, table_ref, out_ref):
@@ -214,7 +217,8 @@ def sample_lines(params, bin_crop, bin_cropT, table, kp: int, output: str = "rat
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_rows, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, kp, lp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
