@@ -42,6 +42,13 @@ from m3t_tpu.camera import (
     LoaderColorCamera,
     LoaderDepthCamera,
 )
+from m3t_tpu.hardware_camera import (
+    AzureKinectColorCamera,
+    AzureKinectDepthCamera,
+    OpenCVColorCamera,
+    RealSenseColorCamera,
+    RealSenseDepthCamera,
+)
 from m3t_tpu.renderer_geometry import RendererGeometry
 from m3t_tpu.renderer import (
     FocusedBasicDepthRenderer,

@@ -133,6 +133,20 @@ def _generate(fs: cv2.FileStorage, configfile_path: str) -> Tracker:
         _require(e, "LoaderDepthCamera", ["name", "metafile_path"])
         depth_cameras.append(LoaderDepthCamera(
             e["name"], metafile_path=_metafile(e, configfile_path)))
+    # Live cameras: metafile optional (reference generator.h:972-996,
+    # ConfigureObjectsMetafileOptional).
+    for class_name, camera_list in (("AzureKinectColorCamera", color_cameras),
+                                    ("AzureKinectDepthCamera", depth_cameras),
+                                    ("RealSenseColorCamera", color_cameras),
+                                    ("RealSenseDepthCamera", depth_cameras)):
+        for e in _nodes(fs, class_name):
+            _require(e, class_name, ["name"])
+            from m3t_tpu import hardware_camera
+
+            cls = getattr(hardware_camera, class_name)
+            metafile = (_metafile(e, configfile_path)
+                        if e.get("metafile_path") else None)
+            camera_list.append(cls(e["name"], metafile_path=metafile))
     cameras = color_cameras + depth_cameras
 
     # Focused renderers
