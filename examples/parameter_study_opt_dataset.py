@@ -66,16 +66,15 @@ def main() -> int:
     parser.add_argument("--patterns", nargs="+", default=MOTION_PATTERNS)
     args = parser.parse_args()
 
-    # OPT sequence names combine body orientation and motion pattern
-    # (opt_evaluator.cpp: "<body>_<orientation>_<pattern>").
-    sequence_names = [f"{o}_{p}" for o in args.orientations for p in args.patterns]
-
     def evaluate_one(run):
         from m3t_tpu.eval.opt_evaluator import OPTEvaluator
 
+        # The evaluator composes "<body[:2]>_<pattern>_<orientation>" sequence
+        # names itself (opt_evaluator.cpp:504-506).
         evaluator = OPTEvaluator("study", args.dataset_dir, args.external_dir,
                                  body_names=args.bodies,
-                                 sequence_names=sequence_names)
+                                 body_orientations=args.orientations,
+                                 motion_patterns=args.patterns)
         evaluator.region_modality_setter = make_setter(run["region_modality"])
         evaluator.depth_modality_setter = make_setter(run["depth_modality"])
         evaluator.tracker_setter = make_setter(run["tracker"])

@@ -7,7 +7,6 @@ RMSE of translation (mm) and XYZ-Euler rotation (deg) errors (choi_evaluator.cpp
 from __future__ import annotations
 
 import os
-import time
 
 import numpy as np
 
@@ -25,7 +24,7 @@ from m3t_tpu.region_model import RegionModel
 from m3t_tpu.renderer_geometry import RendererGeometry
 from m3t_tpu.tracker import Tracker
 
-CHOI_INTRINSICS = Intrinsics(525.0, 525.0, 319.5, 239.5, 640, 480)
+CHOI_INTRINSICS = Intrinsics(525.0, 525.0, 319.0, 239.0, 640, 480)  # choi_evaluator.h:41-42
 
 
 class ChoiEvaluator:
@@ -57,10 +56,15 @@ class ChoiEvaluator:
         return self.results
 
     def _evaluate_body(self, body_name: str) -> dict:
+        # Meshes live in the EXTERNAL directory (converted by the dataset
+        # converter, choi_evaluator.cpp:513-516); fall back to the dataset dir.
+        geometry_path = os.path.join(self.external_directory, "models",
+                                     f"{body_name}.obj")
+        if not os.path.exists(geometry_path):
+            geometry_path = os.path.join(self.dataset_directory, "models",
+                                         f"{body_name}.obj")
         body = Body(
-            body_name,
-            geometry_path=os.path.join(self.dataset_directory, "models",
-                                       f"{body_name}.obj"),
+            body_name, geometry_path=geometry_path,
             geometry_unit_in_meter=1.0, geometry_counterclockwise=True,
             geometry_enable_culling=True)
         if not body.SetUp():
@@ -78,9 +82,17 @@ class ChoiEvaluator:
             n_leading_zeros=4)
         depth_camera.SetUp()
 
-        gt_poses = np.load(os.path.join(camera_dir, "poses_gt.npy")) \
-            if os.path.exists(os.path.join(camera_dir, "poses_gt.npy")) \
-            else self._read_gt_poses(camera_dir)
+        # GT poses: "<dataset>/ground_truth/<body>_kitchen.motion", 12 row-major
+        # [R | t] values per line (choi_evaluator.cpp:549-575); synthetic mini
+        # datasets may instead place poses_gt.{npy,txt} next to the images.
+        motion_path = os.path.join(self.dataset_directory, "ground_truth",
+                                   f"{body_name}_kitchen.motion")
+        if os.path.exists(motion_path):
+            gt_poses = self._read_motion_file(motion_path)
+        elif os.path.exists(os.path.join(camera_dir, "poses_gt.npy")):
+            gt_poses = np.load(os.path.join(camera_dir, "poses_gt.npy"))
+        else:
+            gt_poses = self._read_gt_poses(camera_dir)
 
         region_model = RegionModel(
             f"{body_name}_region_model", body,
@@ -119,7 +131,8 @@ class ChoiEvaluator:
             raise RuntimeError("tracker failed")
 
         errors = []
-        cycle_times = []
+        phase_times = []
+        t_errors, r_errors = [], []
         tracker.names_detecting = set(tracker.names_all)
         tracker.names_starting = set(tracker.names_all)
         tracker._validate_names()
@@ -130,11 +143,21 @@ class ChoiEvaluator:
             tracker.CalculateConsistentPoses()
             tracker.ExecuteDetectingStep(i)
             tracker.ExecuteStartingStep(i)
-            begin = time.perf_counter()
-            tracker.ExecuteTrackingStep(i)
-            cycle_times.append(time.perf_counter() - begin)
+            times = metrics.execute_measured_tracking_step(tracker, i)
+            if times:
+                phase_times.append(times)
             errors.append(metrics.choi_errors(body.body2world_pose, gt_poses[i + 1]))
+            t_errors.append(metrics.translation_error(body.body2world_pose,
+                                                      gt_poses[i + 1]))
+            r_errors.append(metrics.rotation_error(body.body2world_pose,
+                                                   gt_poses[i + 1]))
 
+        mean_times = {
+            key: float(np.mean([t[key] for t in phase_times])) if phase_times else 0.0
+            for key in ("complete_cycle", "calculate_correspondences",
+                        "calculate_gradient_and_hessian", "calculate_optimization",
+                        "calculate_results")
+        }
         return {
             "rmse_x": metrics.rmse([e["error_x"] for e in errors]),
             "rmse_y": metrics.rmse([e["error_y"] for e in errors]),
@@ -142,9 +165,21 @@ class ChoiEvaluator:
             "rmse_alpha": metrics.rmse([e["error_alpha"] for e in errors]),
             "rmse_beta": metrics.rmse([e["error_beta"] for e in errors]),
             "rmse_gamma": metrics.rmse([e["error_gamma"] for e in errors]),
-            "mean_cycle_time_s": float(np.mean(cycle_times)) if cycle_times else 0.0,
+            "mean_translation_error": float(np.mean(t_errors)) if t_errors else 0.0,
+            "mean_rotation_error": float(np.mean(r_errors)) if r_errors else 0.0,
+            "execution_times": mean_times,
+            "mean_cycle_time_s": mean_times["complete_cycle"],
             "n_frames": len(errors),
         }
+
+    @staticmethod
+    def _read_motion_file(path: str) -> np.ndarray:
+        """Choi .motion file: 12 row-major [R | t] values per line
+        (choi_evaluator.cpp:560-571)."""
+        rows = np.loadtxt(path, dtype=np.float64).reshape(-1, 12)
+        poses = np.tile(np.eye(4, dtype=np.float32), (len(rows), 1, 1))
+        poses[:, :3, :4] = rows.reshape(-1, 3, 4).astype(np.float32)
+        return poses
 
     @staticmethod
     def _read_gt_poses(camera_dir: str) -> np.ndarray:

@@ -105,3 +105,41 @@ def reduce_vertices(vertices: np.ndarray, max_vertices: int = 1000,
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(vertices), size=max_vertices, replace=False)
     return vertices[idx]
+
+
+def execute_measured_tracking_step(tracker, iteration: int) -> dict:
+    """Run one tracking step phase-by-phase with timers.
+
+    The TPU analogue of the reference evaluators' ExecuteMeasuredTrackingCycle
+    (ycb_evaluator.cpp:591-680, opt_evaluator.cpp): per-phase wall times in
+    seconds with the reference's ExecutionTimes field names.
+    """
+    import time
+
+    times = {"calculate_correspondences": 0.0,
+             "calculate_gradient_and_hessian": 0.0,
+             "calculate_optimization": 0.0,
+             "calculate_results": 0.0}
+    begin_cycle = time.perf_counter()
+    for corr_iteration in range(tracker.n_corr_iterations):
+        begin = time.perf_counter()
+        if not tracker.CalculateCorrespondences(iteration, corr_iteration):
+            return {}
+        times["calculate_correspondences"] += time.perf_counter() - begin
+        for update_iteration in range(tracker.n_update_iterations):
+            begin = time.perf_counter()
+            if not tracker.CalculateGradientAndHessian(
+                    iteration, corr_iteration, update_iteration):
+                return {}
+            times["calculate_gradient_and_hessian"] += time.perf_counter() - begin
+            begin = time.perf_counter()
+            if not tracker.CalculateOptimization(
+                    iteration, corr_iteration, update_iteration):
+                return {}
+            times["calculate_optimization"] += time.perf_counter() - begin
+    begin = time.perf_counter()
+    if not tracker.CalculateResults(iteration):
+        return {}
+    times["calculate_results"] += time.perf_counter() - begin
+    times["complete_cycle"] = time.perf_counter() - begin_cycle
+    return times

@@ -214,6 +214,10 @@ class Model:
                           self.image_size, self.image_size)
 
     def _checksum(self, extra: str = "") -> str:
+        # NOTE: seed and view_subset are part of the key even at their defaults;
+        # adding them (round 2) deliberately invalidated caches generated before
+        # those parameters existed — a stale hit would silently reuse models built
+        # from a different sample set.
         body = self.body_ptr
         h = hashlib.sha256()
         h.update(

@@ -60,6 +60,32 @@ class SilhouetteCheckInputs(NamedTuple):
     body_visible: jnp.ndarray
 
 
+class DepthModeledOcclusionQueryInputs(NamedTuple):
+    """Point-query variant of :class:`DepthModeledOcclusionInputs` (SceneCoeffs)."""
+
+    coeffs: jnp.ndarray        # (T, 12)
+    tri_valid: jnp.ndarray     # (T,)
+    corner_u: jnp.ndarray
+    corner_v: jnp.ndarray
+    scale: jnp.ndarray
+    body_visible: jnp.ndarray
+    image_size: jnp.ndarray    # () int32
+
+
+class SilhouetteCheckQueryInputs(NamedTuple):
+    """Point-query variant of :class:`SilhouetteCheckInputs` (body-id silhouette)."""
+
+    coeffs: jnp.ndarray        # (T, 12)
+    tri_valid: jnp.ndarray     # (T,)
+    sil_body_id: jnp.ndarray   # (T,) int32 per-triangle body ids
+    corner_u: jnp.ndarray
+    corner_v: jnp.ndarray
+    scale: jnp.ndarray
+    body_id: jnp.ndarray
+    body_visible: jnp.ndarray
+    image_size: jnp.ndarray    # () int32
+
+
 def _trunc(x):
     return jnp.trunc(x).astype(jnp.int32)
 
@@ -106,11 +132,23 @@ def calculate_correspondences(
     # rendered in the FULL image frame by a focused renderer; sample at focused coords.
     if silhouette_check is not None:
         s = silhouette_check
-        size = s.silhouette.shape[0]
-        fu_c = _trunc((cu - s.corner_u) * s.scale + 0.5)
-        fv_c = _trunc((cv - s.corner_v) * s.scale + 0.5)
-        inb = (fu_c >= 0) & (fu_c < size) & (fv_c >= 0) & (fv_c < size)
-        vals = s.silhouette[jnp.clip(fv_c, 0, size - 1), jnp.clip(fu_c, 0, size - 1)]
+        if isinstance(s, SilhouetteCheckQueryInputs):
+            from m3t_tpu.ops import occlusion as occlusion_ops
+
+            size = s.image_size
+            fu_c = _trunc((cu - s.corner_u) * s.scale + 0.5)
+            fv_c = _trunc((cv - s.corner_v) * s.scale + 0.5)
+            inb = (fu_c >= 0) & (fu_c < size) & (fv_c >= 0) & (fv_c < size)
+            vals = occlusion_ops.query_id(
+                s.coeffs, s.tri_valid, s.sil_body_id,
+                jnp.clip(fu_c, 0, size - 1), jnp.clip(fv_c, 0, size - 1))
+        else:
+            size = s.silhouette.shape[0]
+            fu_c = _trunc((cu - s.corner_u) * s.scale + 0.5)
+            fv_c = _trunc((cv - s.corner_v) * s.scale + 0.5)
+            inb = (fu_c >= 0) & (fu_c < size) & (fv_c >= 0) & (fv_c < size)
+            vals = s.silhouette[jnp.clip(fv_c, 0, size - 1),
+                                jnp.clip(fu_c, 0, size - 1)]
         ok = inb & (vals == s.body_id)
         valid &= jnp.where(s.body_visible, ok, True)
 
@@ -150,7 +188,8 @@ def calculate_correspondences(
     if modeled_occlusion is not None:
         # IsPointUnoccludedModeled (cpp:778-824)
         occ = modeled_occlusion
-        size = occ.focused_depth.shape[0]
+        size = (occ.image_size if isinstance(occ, DepthModeledOcclusionQueryInputs)
+                else occ.focused_depth.shape[0])
         meter_to_pixel = fu * occ.scale
         if not cfg.use_depth_scaling:
             meter_to_pixel = meter_to_pixel / z_safe
@@ -176,9 +215,19 @@ def calculate_correspondences(
         v_ok = vs <= v_max[:, None]
         uu = jnp.clip(us, 0, size - 1)
         vv = jnp.clip(vs, 0, size - 1)
-        d = occ.focused_depth[vv[:, :, None], uu[:, None, :]]
         sample_ok = v_ok[:, :, None] & u_ok[:, None, :]
-        min_rendered = jnp.min(jnp.where(sample_ok, d, jnp.inf), axis=(1, 2))
+        if isinstance(occ, DepthModeledOcclusionQueryInputs):
+            from m3t_tpu.ops import occlusion as occlusion_ops
+
+            pcount, kk = uu.shape
+            gu = jnp.broadcast_to(uu[:, None, :], (pcount, kk, kk))
+            gv = jnp.broadcast_to(vv[:, :, None], (pcount, kk, kk))
+            inv = occlusion_ops.query_inv_depth(occ.coeffs, occ.tri_valid, gu, gv)
+            min_rendered = occlusion_ops.inv_to_depth(
+                jnp.max(jnp.where(sample_ok, inv, 0.0), axis=(1, 2)))
+        else:
+            d = occ.focused_depth[vv[:, :, None], uu[:, None, :]]
+            min_rendered = jnp.min(jnp.where(sample_ok, d, jnp.inf), axis=(1, 2))
         threshold = cfg.modeled_occlusion_threshold
         if cfg.use_depth_scaling:
             threshold = threshold * z

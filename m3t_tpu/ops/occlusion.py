@@ -17,15 +17,26 @@ depth modality's body-id silhouette check (depth_modality.cpp:728-734).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from m3t_tpu.ops import raster
 
 KIMAGE_SIZE_SAFETY_MARGIN = 1.05  # renderer.cpp:352
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
 
 
 class SceneGeometry(NamedTuple):
@@ -163,6 +174,194 @@ def _crop_params(ref_centers, ref_radius, ref_valid, fu, fv, ppu, ppv,
     corner_v = jnp.where(visible, 0.5 * (v_min + v_max - d), 0.0)
     scale = jnp.where(visible, jnp.float32(image_size) / d, 1.0)
     return corner_u, corner_v, scale, visible
+
+
+class SceneCoeffs(NamedTuple):
+    """Per-scene focused triangle coefficients for POINT-QUERY occlusion checks.
+
+    The validity checks consume only ~50 pixels per correspondence line (a 6x6
+    depth neighbourhood, region_modality.cpp:1391-1431, and 2x6 silhouette strides,
+    cpp:1293-1341), so materializing full (S, S) focused images is wasted work on
+    TPU — the batched z-buffer rasterization of :func:`focused_render` costs ~1000x
+    more than the samples it feeds.  Instead this carries the same per-triangle
+    linear coefficients the rasterizer uses (ops/raster.py triangle_coefficients in
+    focused-crop pixel space) and :func:`query_depth` / :func:`query_depth_id`
+    evaluate depth/silhouette at exactly the queried pixels: identical math,
+    identical results, no (S, S) images.
+    """
+
+    coeffs: jnp.ndarray        # (B, T, 12) f32 edge + inverse-depth planes
+    tri_valid: jnp.ndarray     # (B, T) bool
+    sil_id: jnp.ndarray        # (B, T) int32 combined id: body_id << 8 | region_id
+    corner_u: jnp.ndarray      # (B,)
+    corner_v: jnp.ndarray      # (B,)
+    scale: jnp.ndarray         # (B,)
+    body_visible: jnp.ndarray  # (B,) bool
+
+
+def focused_scene_coeffs(geom: SceneGeometry, scene_poses, intr, width: int,
+                         height: int, image_size: int = 200, z_min: float = 0.02,
+                         z_max: float = 10.0) -> SceneCoeffs:
+    """Crop parameters + focused-space triangle coefficients, no rasterization.
+
+    Same crop math as :func:`focused_render` (renderer.cpp:348-406); the returned
+    coefficients evaluate in focused-crop pixel coordinates.
+    """
+    fu, fv, ppu, ppv = intr
+
+    def one(tri, owner, sil, tri_valid, cull, ref_owner, ref_radius, ref_valid,
+            poses):
+        pose_t = poses[owner]                       # (T, 4, 4)
+        v_cam = jnp.einsum("tij,tkj->tki", pose_t[:, :3, :3], tri) \
+            + pose_t[:, None, :3, 3]
+        ref_centers = poses[ref_owner][:, :3, 3]
+        corner_u, corner_v, scale, visible = _crop_params(
+            ref_centers, ref_radius, ref_valid, fu, fv, ppu, ppv,
+            width, height, image_size, z_min, z_max)
+        soup = raster.triangle_coefficients(
+            v_cam, sil, fu * scale, fv * scale,
+            (ppu - corner_u) * scale, (ppv - corner_v) * scale,
+            cull_backfaces=cull, z_min=z_min)
+        return (soup.coeffs, soup.valid & tri_valid, corner_u, corner_v, scale,
+                visible)
+
+    coeffs, valid, corner_u, corner_v, scale, visible = jax.vmap(one)(
+        geom.triangles, geom.owner, geom.sil_id, geom.tri_valid, geom.cull,
+        geom.ref_owner, geom.ref_radius, geom.ref_valid, scene_poses)
+    return SceneCoeffs(coeffs=coeffs, tri_valid=valid, sil_id=geom.sil_id,
+                       corner_u=corner_u, corner_v=corner_v, scale=scale,
+                       body_visible=visible)
+
+
+def _pq_kernel(coeffs_ref, sil_ref, u_ref, v_ref, inv_ref, id_ref, *, n_tri: int):
+    """Pallas point-query kernel: per query pixel, max inverse depth + its id.
+
+    coeffs_ref (Tp, 12) f32 (invalid triangles pre-zeroed), sil_ref (Tp, 1) i32,
+    u/v/inv (QS, 128) f32, id (QS, 128) i32.  The triangle loop runs with the
+    coefficients as scalars against full query tiles, so the only live tensors
+    are the (QS, 128) accumulators — the (queries x triangles) product never
+    exists, unlike the XLA broadcast formulation which materializes it in HBM
+    at large batch sizes.
+    """
+    u = u_ref[...]
+    v = v_ref[...]
+
+    def step(t, carry):
+        best, bid = carry
+        e0 = coeffs_ref[t, 0] * u + coeffs_ref[t, 1] * v + coeffs_ref[t, 2]
+        e1 = coeffs_ref[t, 3] * u + coeffs_ref[t, 4] * v + coeffs_ref[t, 5]
+        e2 = coeffs_ref[t, 6] * u + coeffs_ref[t, 7] * v + coeffs_ref[t, 8]
+        inv = coeffs_ref[t, 9] * u + coeffs_ref[t, 10] * v + coeffs_ref[t, 11]
+        inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (inv > 1e-12)
+        m = jnp.where(inside, inv, 0.0)
+        sel = m > best
+        return (jnp.where(sel, m, best),
+                jnp.where(sel, sil_ref[t, 0], bid))
+
+    best, bid = jax.lax.fori_loop(
+        0, n_tri, step,
+        (jnp.zeros(u.shape, jnp.float32), jnp.zeros(u.shape, jnp.int32)))
+    inv_ref[...] = best
+    id_ref[...] = jnp.where(best > 0.0, bid, 0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _query_eval(coeffs, tri_valid, sil_id, u, v):
+    """Evaluate (max inverse depth, closest id) at query pixels via Pallas.
+
+    coeffs (T, 12), tri_valid (T,), sil_id (T,); u/v any common shape.
+    Returns (inv_best, id) with u's shape; inv_best == 0 / id == 0 where no
+    triangle covers the pixel.
+    """
+    shape = u.shape
+    q = int(np.prod(shape)) if shape else 1
+    qs = _round_up(max(q, 1), 8 * 128) // 128
+    uf = jnp.full((qs * 128,), -1e9, jnp.float32).at[:q].set(
+        jnp.asarray(u, jnp.float32).reshape(-1)).reshape(qs, 128)
+    vf = jnp.full((qs * 128,), -1e9, jnp.float32).at[:q].set(
+        jnp.asarray(v, jnp.float32).reshape(-1)).reshape(qs, 128)
+    n_tri = coeffs.shape[0]
+    tp = _round_up(n_tri, 8)
+    cz = jnp.where(tri_valid[:, None], coeffs, 0.0)
+    cz = jnp.pad(cz, ((0, tp - n_tri), (0, 0)))
+    sil = jnp.pad(jnp.asarray(sil_id, jnp.int32), (0, tp - n_tri))[:, None]
+
+    inv_best, idq = pl.pallas_call(
+        functools.partial(_pq_kernel, n_tri=n_tri),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((qs, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((qs, 128), jnp.int32)],
+        interpret=_use_interpret(),
+    )(cz, sil, uf, vf)
+    return (inv_best.reshape(-1)[:q].reshape(shape),
+            idq.reshape(-1)[:q].reshape(shape))
+
+
+def _query_planes(coeffs, tri_valid, u, v):
+    """Evaluate all triangles' edge/inv-depth planes at focused pixels (u, v).
+
+    coeffs (T, 12), u/v (...,) float32.  Returns (inside (..., T), inv_z (..., T)).
+    """
+    c = coeffs.reshape(-1, 4, 3)                       # (T, 4, 3)
+    a, b, cc = c[..., 0], c[..., 1], c[..., 2]         # (T, 4)
+    uu = u[..., None, None]
+    vv = v[..., None, None]
+    vals = a * uu + b * vv + cc                        # (..., T, 4)
+    inside = (vals[..., 0] >= 0.0) & (vals[..., 1] >= 0.0) \
+        & (vals[..., 2] >= 0.0) & tri_valid
+    return inside, vals[..., 3]
+
+
+def query_inv_depth(coeffs, tri_valid, u, v):
+    """Max inverse depth over covering triangles at focused pixels; 0 = no hit.
+
+    The hot-path form: ``min z == 1 / max inv_z`` for positive depths, so callers
+    that only need a depth *comparison* or a min over several samples reduce in
+    inverse-depth space and divide once per line after the reduction.  Runs as
+    the Pallas kernel (:func:`_query_eval`); :func:`query_inv_depth_xla` is the
+    plain-XLA twin used for cross-checking.
+    """
+    inv_best, _ = _query_eval(coeffs, tri_valid,
+                              jnp.zeros(coeffs.shape[0], jnp.int32), u, v)
+    return inv_best
+
+
+def query_inv_depth_xla(coeffs, tri_valid, u, v):
+    """Reference XLA formulation of :func:`query_inv_depth` (test cross-check)."""
+    inside, inv_z = _query_planes(coeffs, tri_valid, jnp.asarray(u, jnp.float32),
+                                  jnp.asarray(v, jnp.float32))
+    return jnp.max(jnp.where(inside & (inv_z > 1e-12), inv_z, 0.0), axis=-1)
+
+
+def inv_to_depth(inv_best):
+    """Convert a reduced max-inverse-depth to meters (+inf where no hit)."""
+    return jnp.where(inv_best > 0.0, 1.0 / jnp.maximum(inv_best, 1e-12), jnp.inf)
+
+
+def query_depth(coeffs, tri_valid, u, v):
+    """Depth at focused pixels (u, v): min over covering triangles, +inf if none.
+
+    Exact point-query twin of ``rasterize(...).depth[v, u]`` (same planes, same
+    inside test, same interpolated depth) — used by the modeled-occlusion checks.
+    """
+    return inv_to_depth(query_inv_depth(coeffs, tri_valid, u, v))
+
+
+def query_id(coeffs, tri_valid, sil_id, u, v):
+    """Combined silhouette id of the closest covering triangle; 0 = background.
+
+    Division-free: the closest triangle is the argmax of inverse depth, so the
+    silhouette checks never build a depth tensor at all (Pallas kernel).
+    """
+    _, idq = _query_eval(coeffs, tri_valid, sil_id, u, v)
+    return idq
+
+
+def query_depth_id(coeffs, tri_valid, sil_id, u, v):
+    """(depth, combined silhouette id) at focused pixels; id 0 = background."""
+    return (query_depth(coeffs, tri_valid, u, v),
+            query_id(coeffs, tri_valid, sil_id, u, v))
 
 
 def focused_render(geom: SceneGeometry, scene_poses, intr, width: int, height: int,

@@ -371,9 +371,12 @@ def line_geometry(cfg: RegionConfig, scale: int, points: ViewPointsCL, n_lines,
     # occlusions go through the two-pass fallback (cpp:435-463).
     from m3t_tpu.ops import region_fn as _rfn
     if region_check is not None:
+        rc_size = (region_check.image_size
+                   if isinstance(region_check, _rfn.RegionCheckQueryInputs)
+                   else region_check.silhouette.shape[0])
         valid &= _rfn.region_check_ok(
             cfg, fscale, center_u, center_v, normal_u, normal_v, region_check,
-            region_check.silhouette.shape[0])
+            rc_size)
     occl_ok = jnp.ones(valid.shape, bool)
     if measured_occlusion is not None:
         occl_ok &= _rfn._measured_occlusion_free(
@@ -382,9 +385,12 @@ def line_geometry(cfg: RegionConfig, scale: int, points: ViewPointsCL, n_lines,
             measured_occlusion.depth_image.shape[1],
             measured_occlusion.depth_image.shape[0])
     if modeled_occlusion is not None:
+        mo_size = (modeled_occlusion.image_size
+                   if isinstance(modeled_occlusion, _rfn.ModeledOcclusionQueryInputs)
+                   else modeled_occlusion.focused_depth.shape[0])
         occl_ok &= _rfn.modeled_occlusion_free(
             cfg, center_u, center_v, z, points.modeled_depth_offset, fu,
-            modeled_occlusion, modeled_occlusion.focused_depth.shape[0])
+            modeled_occlusion, mo_size)
     if measured_occlusion is not None or modeled_occlusion is not None:
         valid_with = valid & occl_ok
         n_with = jnp.sum(valid_with)

@@ -126,6 +126,37 @@ class RegionCheckInputs(NamedTuple):
     body_visible: jnp.ndarray  # () bool
 
 
+class ModeledOcclusionQueryInputs(NamedTuple):
+    """Point-query variant of :class:`ModeledOcclusionInputs`.
+
+    Carries focused-space triangle coefficients (ops/occlusion.py SceneCoeffs)
+    instead of a rasterized depth image; the occlusion check evaluates depth at
+    exactly the sampled pixels — identical results, no (S, S) render.
+    """
+
+    coeffs: jnp.ndarray        # (T, 12)
+    tri_valid: jnp.ndarray     # (T,)
+    corner_u: jnp.ndarray
+    corner_v: jnp.ndarray
+    scale: jnp.ndarray
+    body_visible: jnp.ndarray  # () bool
+    image_size: jnp.ndarray    # () int32 focused image side
+
+
+class RegionCheckQueryInputs(NamedTuple):
+    """Point-query variant of :class:`RegionCheckInputs` (region-id silhouette)."""
+
+    coeffs: jnp.ndarray        # (T, 12)
+    tri_valid: jnp.ndarray     # (T,)
+    sil_region_id: jnp.ndarray  # (T,) int32 per-triangle region ids
+    corner_u: jnp.ndarray
+    corner_v: jnp.ndarray
+    scale: jnp.ndarray
+    region_id: jnp.ndarray     # () int32
+    body_visible: jnp.ndarray  # () bool
+    image_size: jnp.ndarray    # () int32
+
+
 def _trunc(x):
     return jnp.trunc(x).astype(jnp.int32)
 
@@ -211,9 +242,20 @@ def modeled_occlusion_free(cfg: RegionConfig, center_u, center_v, depth, depth_o
     v_ok = vs <= v_max[:, None]
     uu = jnp.clip(us, 0, image_size - 1)
     vv = jnp.clip(vs, 0, image_size - 1)
-    d = occ.focused_depth[vv[:, :, None], uu[:, None, :]]  # (L, Kv, Ku)
     sample_ok = v_ok[:, :, None] & u_ok[:, None, :]
-    min_depth = jnp.min(jnp.where(sample_ok, d, jnp.inf), axis=(1, 2))
+    if isinstance(occ, ModeledOcclusionQueryInputs):
+        from m3t_tpu.ops import occlusion as occlusion_ops
+
+        lcount, kk = uu.shape
+        gu = jnp.broadcast_to(uu[:, None, :], (lcount, kk, kk))
+        gv = jnp.broadcast_to(vv[:, :, None], (lcount, kk, kk))
+        inv = occlusion_ops.query_inv_depth(occ.coeffs, occ.tri_valid, gu, gv)
+        # min depth over samples == 1 / max inverse depth: divide after reducing.
+        min_depth = occlusion_ops.inv_to_depth(
+            jnp.max(jnp.where(sample_ok, inv, 0.0), axis=(1, 2)))
+    else:
+        d = occ.focused_depth[vv[:, :, None], uu[:, None, :]]  # (L, Kv, Ku)
+        min_depth = jnp.min(jnp.where(sample_ok, d, jnp.inf), axis=(1, 2))
     min_allowed = depth - depth_offset - cfg.modeled_occlusion_threshold
     free = min_depth > min_allowed
     return jnp.where(occ.body_visible, free, True)
@@ -233,11 +275,21 @@ def region_check_ok(cfg: RegionConfig, fscale, center_u, center_v, normal_u, nor
     off_u = (KREGION_OFFSET + i[None, :] * focused_stride) * normal_u[:, None]
     off_v = (KREGION_OFFSET + i[None, :] * focused_stride) * normal_v[:, None]
 
+    if isinstance(chk, RegionCheckQueryInputs):
+        from m3t_tpu.ops import occlusion as occlusion_ops
+
+        def sil_at(u_i, v_i):
+            return occlusion_ops.query_id(
+                chk.coeffs, chk.tri_valid, chk.sil_region_id, u_i, v_i)
+    else:
+        def sil_at(u_i, v_i):
+            return chk.silhouette[v_i, u_i]
+
     # Foreground side: all samples must equal region_id (no bounds check in reference).
     fu_ = _trunc(fcu[:, None] - off_u)
     fv_ = _trunc(fcv[:, None] - off_v)
-    fg_vals = chk.silhouette[jnp.clip(fv_, 0, image_size - 1),
-                             jnp.clip(fu_, 0, image_size - 1)]
+    fg_vals = sil_at(jnp.clip(fu_, 0, image_size - 1),
+                     jnp.clip(fv_, 0, image_size - 1))
     fg_ok = jnp.all(fg_vals == chk.region_id, axis=1)
 
     # Background side: break on leaving the image; inside samples must differ.
@@ -247,7 +299,7 @@ def region_check_ok(cfg: RegionConfig, fscale, center_u, center_v, normal_u, nor
     inb = jnp.cumprod(inb.astype(jnp.int32), axis=1).astype(bool)
     bu_i = jnp.clip(_trunc(bu), 0, image_size - 1)
     bv_i = jnp.clip(_trunc(bv), 0, image_size - 1)
-    bg_vals = chk.silhouette[bv_i, bu_i]
+    bg_vals = sil_at(bu_i, bv_i)
     bg_ok = jnp.all(~inb | (bg_vals != chk.region_id), axis=1)
 
     ok = fg_ok & bg_ok

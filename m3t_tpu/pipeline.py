@@ -42,7 +42,9 @@ from m3t_tpu.ops.region_fast import ViewPointsCL
 from m3t_tpu.ops.region_fn import (
     MeasuredOcclusionInputs,
     ModeledOcclusionInputs,
+    ModeledOcclusionQueryInputs,
     RegionCheckInputs,
+    RegionCheckQueryInputs,
     RegionConfig,
 )
 
@@ -168,6 +170,13 @@ class PipelineConfig(NamedTuple):
     z_min: float = 0.02
     z_max: float = 10.0
     occlusion_raster_chunk: int = 64
+    # Point-query occlusion evaluation (default): the validity checks sample only
+    # ~50 focused pixels per line/point, so instead of rasterizing (S, S) scene
+    # images every correspondence iteration the scene's triangle coefficients are
+    # evaluated at exactly the queried pixels (ops/occlusion.py SceneCoeffs) —
+    # identical results, ~40x faster at B=512.  False falls back to full
+    # focused_render images (useful for visualization and the rasterizer tests).
+    occlusion_queries: bool = True
 
     @property
     def needs_scene_render(self) -> bool:
@@ -320,6 +329,75 @@ def _histogram_memories(pcfg: PipelineConfig, intr, points, poses, n_lines,
     return mem_f, mem_b
 
 
+def _render_scene_for(pcfg: PipelineConfig, scene_geom, scene_poses, intr,
+                      width: int, height: int):
+    """Per-iteration scene evaluation: SceneCoeffs (query mode) or FocusedRender."""
+    if pcfg.occlusion_queries:
+        return occlusion_ops.focused_scene_coeffs(
+            scene_geom, scene_poses, intr, width, height,
+            pcfg.focused_image_size, pcfg.z_min, pcfg.z_max)
+    return occlusion_ops.focused_render(
+        scene_geom, scene_poses, intr, width, height,
+        pcfg.focused_image_size, pcfg.z_min, pcfg.z_max,
+        pcfg.occlusion_raster_chunk)
+
+
+def _scene_region_inputs(pcfg: PipelineConfig, rend, scene_geom):
+    """RegionCheck/ModeledOcclusion inputs from either scene-evaluation mode."""
+    region_check = modeled = None
+    if rend is None:
+        return region_check, modeled
+    if isinstance(rend, occlusion_ops.SceneCoeffs):
+        size = jnp.full(rend.corner_u.shape, pcfg.focused_image_size, jnp.int32)
+        if pcfg.region_checking:
+            region_check = RegionCheckQueryInputs(
+                rend.coeffs, rend.tri_valid, rend.sil_id & 255,
+                rend.corner_u, rend.corner_v, rend.scale,
+                scene_geom.region_id, rend.body_visible, size)
+        if pcfg.region_model_occlusions:
+            modeled = ModeledOcclusionQueryInputs(
+                rend.coeffs, rend.tri_valid, rend.corner_u, rend.corner_v,
+                rend.scale, rend.body_visible, size)
+        return region_check, modeled
+    if pcfg.region_checking:
+        region_check = RegionCheckInputs(
+            rend.region_sil, rend.corner_u, rend.corner_v, rend.scale,
+            scene_geom.region_id, rend.body_visible)
+    if pcfg.region_model_occlusions:
+        modeled = ModeledOcclusionInputs(
+            rend.depth, rend.corner_u, rend.corner_v, rend.scale,
+            rend.body_visible)
+    return region_check, modeled
+
+
+def _scene_depth_inputs(pcfg: PipelineConfig, rend, scene_geom):
+    """DepthModeledOcclusion/SilhouetteCheck inputs from either mode."""
+    d_modeled = d_sil = None
+    if rend is None:
+        return d_modeled, d_sil
+    if isinstance(rend, occlusion_ops.SceneCoeffs):
+        size = jnp.full(rend.corner_u.shape, pcfg.focused_image_size, jnp.int32)
+        if pcfg.depth_model_occlusions:
+            d_modeled = depth_fn.DepthModeledOcclusionQueryInputs(
+                rend.coeffs, rend.tri_valid, rend.corner_u, rend.corner_v,
+                rend.scale, rend.body_visible, size)
+        if pcfg.depth_silhouette_check:
+            d_sil = depth_fn.SilhouetteCheckQueryInputs(
+                rend.coeffs, rend.tri_valid, rend.sil_id >> 8,
+                rend.corner_u, rend.corner_v, rend.scale,
+                scene_geom.body_id, rend.body_visible, size)
+        return d_modeled, d_sil
+    if pcfg.depth_model_occlusions:
+        d_modeled = depth_fn.DepthModeledOcclusionInputs(
+            rend.depth, rend.corner_u, rend.corner_v, rend.scale,
+            rend.body_visible)
+    if pcfg.depth_silhouette_check:
+        d_sil = depth_fn.SilhouetteCheckInputs(
+            rend.body_sil, rend.corner_u, rend.corner_v, rend.scale,
+            scene_geom.body_id, rend.body_visible)
+    return d_modeled, d_sil
+
+
 def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
                 state: TrackingState, depth_intr=None, depth_scale=None,
                 depth_images=None, depth_model=None, scene_geom=None,
@@ -348,21 +426,12 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
             scene_poses = jnp.concatenate([pose[:, None], occluder_poses], axis=1)
         else:
             scene_poses = pose[:, None]
-        return occlusion_ops.focused_render(
-            scene_geom, scene_poses, intr, width, height,
-            pcfg.focused_image_size, pcfg.z_min, pcfg.z_max,
-            pcfg.occlusion_raster_chunk)
+        return _render_scene_for(pcfg, scene_geom, scene_poses, intr,
+                                 width, height)
 
     def region_occlusion_inputs(rend):
-        region_check = modeled = measured = None
-        if pcfg.region_checking and rend is not None:
-            region_check = RegionCheckInputs(
-                rend.region_sil, rend.corner_u, rend.corner_v, rend.scale,
-                scene_geom.region_id, rend.body_visible)
-        if pcfg.region_model_occlusions and rend is not None:
-            modeled = ModeledOcclusionInputs(
-                rend.depth, rend.corner_u, rend.corner_v, rend.scale,
-                rend.body_visible)
+        region_check, modeled = _scene_region_inputs(pcfg, rend, scene_geom)
+        measured = None
         if pcfg.region_measure_occlusions and depth_images is not None:
             dfu, dfv, dppu, dppv = depth_intr
             b = pose.shape[0]
@@ -386,15 +455,7 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
         if use_depth:
             cd, depth_std = pcfg.iteration_depth(corr_iteration)
             dfu, dfv, dppu, dppv = depth_intr
-            d_modeled = d_sil = None
-            if pcfg.depth_model_occlusions and rend is not None:
-                d_modeled = depth_fn.DepthModeledOcclusionInputs(
-                    rend.depth, rend.corner_u, rend.corner_v, rend.scale,
-                    rend.body_visible)
-            if pcfg.depth_silhouette_check and rend is not None:
-                d_sil = depth_fn.SilhouetteCheckInputs(
-                    rend.body_sil, rend.corner_u, rend.corner_v, rend.scale,
-                    scene_geom.body_id, rend.body_visible)
+            d_modeled, d_sil = _scene_depth_inputs(pcfg, rend, scene_geom)
             depth_points = jax.vmap(
                 lambda dimg, dmdl, p, dmo, dsc: depth_fn.calculate_correspondences(
                     pcfg.depth_cfg, cd, _select_depth_view(dmdl, p),
@@ -611,19 +672,13 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
             scale, std = pcfg.iteration_scale(corr_iteration)
             pose_cam = cam_poses(pose)
             region_check = modeled = measured = None
+            rend = None
             if render_scene:
-                rend = occlusion_ops.focused_render(
-                    scene_geom_f, cam_scene_poses(pose), intr, width, height,
-                    pcfg.focused_image_size, pcfg.z_min, pcfg.z_max,
-                    pcfg.occlusion_raster_chunk)
-                if pcfg.region_checking:
-                    region_check = RegionCheckInputs(
-                        rend.region_sil, rend.corner_u, rend.corner_v, rend.scale,
-                        scene_geom_f.region_id, rend.body_visible)
-                if pcfg.region_model_occlusions:
-                    modeled = ModeledOcclusionInputs(
-                        rend.depth, rend.corner_u, rend.corner_v, rend.scale,
-                        rend.body_visible)
+                rend = _render_scene_for(pcfg, scene_geom_f,
+                                         cam_scene_poses(pose), intr,
+                                         width, height)
+                region_check, modeled = _scene_region_inputs(
+                    pcfg, rend, scene_geom_f)
             if pcfg.region_measure_occlusions and depth_images_f is not None:
                 dfu, dfv, dppu, dppv = depth_intr
                 bc_ = lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32),
@@ -641,15 +696,7 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
             if with_depth and depth_images_f is not None:
                 cd, depth_std = pcfg.iteration_depth(corr_iteration)
                 dfu, dfv, dppu, dppv = depth_intr
-                d_modeled = d_sil = None
-                if pcfg.depth_model_occlusions and render_scene:
-                    d_modeled = depth_fn.DepthModeledOcclusionInputs(
-                        rend.depth, rend.corner_u, rend.corner_v, rend.scale,
-                        rend.body_visible)
-                if pcfg.depth_silhouette_check and render_scene:
-                    d_sil = depth_fn.SilhouetteCheckInputs(
-                        rend.body_sil, rend.corner_u, rend.corner_v, rend.scale,
-                        scene_geom_f.body_id, rend.body_visible)
+                d_modeled, d_sil = _scene_depth_inputs(pcfg, rend, scene_geom_f)
                 depth_points = jax.vmap(
                     lambda dimg, dmdl, p, dmo, dsc:
                     depth_fn.calculate_correspondences(
@@ -824,10 +871,8 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
                                      (s, nl, ne, 4, 4))
             scene_poses = jnp.concatenate([scene_poses, extra], axis=2)
         scene_poses = scene_poses.reshape(s * nl, -1, 4, 4)
-        return occlusion_ops.focused_render(
-            scene_geom, scene_poses, intr, width, height,
-            pcfg.focused_image_size, pcfg.z_min, pcfg.z_max,
-            pcfg.occlusion_raster_chunk)
+        return _render_scene_for(pcfg, scene_geom, scene_poses, intr,
+                                 width, height)
 
     for corr_iteration in range(pcfg.n_corr_iterations):
         scale, std = pcfg.iteration_scale(corr_iteration)
@@ -835,14 +880,7 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
         region_check = modeled = None
         if render_scene:
             rend = scene_render(b2c)
-            if pcfg.region_checking:
-                region_check = RegionCheckInputs(
-                    rend.region_sil, rend.corner_u, rend.corner_v, rend.scale,
-                    scene_geom.region_id, rend.body_visible)
-            if pcfg.region_model_occlusions:
-                modeled = ModeledOcclusionInputs(
-                    rend.depth, rend.corner_u, rend.corner_v, rend.scale,
-                    rend.body_visible)
+            region_check, modeled = _scene_region_inputs(pcfg, rend, scene_geom)
         points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, pose_flat)
         lines = _region_terms(pcfg, intr, scale, points, pose_flat, n_lines,
                               bin_crop, bin_cropT, rtab, corner_u, corner_v,

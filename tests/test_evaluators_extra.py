@@ -296,3 +296,34 @@ Tracker:
     assert run["n_frames"] == n_frames
     assert results["add_auc"] > 0.85, results
     assert results["adds_auc"] >= results["add_auc"] - 1e-6
+
+
+def test_opt_gt_pose_format_and_run_configurations(tmp_path):
+    """OPT layout: column-major GT rows x inverse geometry2body; reference
+    sequence naming "<body[:2]>_<pattern>_<orientation>" (opt_evaluator.cpp:504,
+    616-627)."""
+    from m3t_tpu.eval.opt_evaluator import OPTEvaluator, read_opt_gt_poses
+
+    rot = np.array([[0.0, -1.0, 0.0],
+                    [1.0, 0.0, 0.0],
+                    [0.0, 0.0, 1.0]], np.float64)
+    trans = np.array([0.1, -0.2, 0.6])
+    # 12 column-major values: columns of [R | t] are (R[:,0], R[:,1], R[:,2], t).
+    row = np.concatenate([rot[:, 0], rot[:, 1], rot[:, 2], trans])
+    path = tmp_path / "so_tr_1_b.txt"
+    np.savetxt(path, row[None])
+
+    g2b = np.eye(4, dtype=np.float32)
+    g2b[:3, 3] = (0.0006, -0.0004, -0.0549)
+    poses = read_opt_gt_poses(str(path), g2b)
+    expected = np.eye(4)
+    expected[:3, :3] = rot
+    expected[:3, 3] = trans
+    expected = expected @ np.linalg.inv(g2b.astype(np.float64))
+    np.testing.assert_allclose(poses[0], expected.astype(np.float32), atol=1e-6)
+
+    ev = OPTEvaluator("e", str(tmp_path), str(tmp_path), body_names=["soda"],
+                      body_orientations=["b", "f"], motion_patterns=["tr_1"])
+    runs = ev._run_configurations("soda")
+    assert [r["sequence"] for r in runs] == ["so_tr_1_b", "so_tr_1_f"]
+    assert all(r["opt_layout"] for r in runs)
