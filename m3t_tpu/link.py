@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 import scipy.linalg
 
-from m3t_tpu.common import add_ptr_if_name_not_exists
+from m3t_tpu.common import add_ptr_if_name_not_exists, delete_ptr_if_name_exists
 from m3t_tpu.utils import yaml_io
 
 
@@ -80,6 +80,22 @@ class Link:
             print(f"Child link {link.name} already exists in link {self.name}")
             return False
         return True
+
+    def DeleteModality(self, name: str) -> bool:  # noqa: N802
+        self.set_up = False
+        return delete_ptr_if_name_exists(name, self.modality_ptrs)
+
+    def DeleteChildLink(self, name: str) -> bool:  # noqa: N802
+        self.set_up = False
+        return delete_ptr_if_name_exists(name, self.child_link_ptrs)
+
+    def ClearModalities(self) -> None:  # noqa: N802
+        self.set_up = False
+        self.modality_ptrs.clear()
+
+    def ClearChildLinks(self) -> None:  # noqa: N802
+        self.set_up = False
+        self.child_link_ptrs.clear()
 
     def DegreesOfFreedom(self) -> int:  # noqa: N802
         return sum(self.free_directions)

@@ -54,6 +54,14 @@ class Optimizer:
         self.set_up = False
         return delete_ptr_if_name_exists(name, self.soft_constraint_ptrs)
 
+    def ClearConstraints(self) -> None:  # noqa: N802
+        self.set_up = False
+        self.constraint_ptrs.clear()
+
+    def ClearSoftConstraints(self) -> None:  # noqa: N802
+        self.set_up = False
+        self.soft_constraint_ptrs.clear()
+
     def ReferencedLinks(self) -> list[Link]:  # noqa: N802
         links: list[Link] = []
 

@@ -6,7 +6,7 @@ before every correspondence iteration (refiner.cpp:98-117).
 
 from __future__ import annotations
 
-from m3t_tpu.common import add_ptr_if_name_not_exists
+from m3t_tpu.common import add_ptr_if_name_not_exists, delete_ptr_if_name_exists
 from m3t_tpu.utils import yaml_io
 
 
@@ -31,6 +31,14 @@ class Refiner:
     def AddOptimizer(self, optimizer) -> bool:  # noqa: N802
         self.set_up = False
         return add_ptr_if_name_not_exists(optimizer, self.optimizer_ptrs)
+
+    def DeleteOptimizer(self, name: str) -> bool:  # noqa: N802
+        self.set_up = False
+        return delete_ptr_if_name_exists(name, self.optimizer_ptrs)
+
+    def ClearOptimizers(self) -> None:  # noqa: N802
+        self.set_up = False
+        self.optimizer_ptrs.clear()
 
     def SetUp(self) -> bool:  # noqa: N802
         self.set_up = False

@@ -17,7 +17,7 @@ import numpy as np
 
 from m3t_tpu.body import Body
 from m3t_tpu.camera import Camera
-from m3t_tpu.common import add_ptr_if_name_not_exists
+from m3t_tpu.common import add_ptr_if_name_not_exists, delete_ptr_if_name_exists
 from m3t_tpu.ops import raster
 from m3t_tpu.renderer_geometry import RendererGeometry
 
@@ -138,6 +138,14 @@ class FocusedRenderer(Renderer):
             print(f"Referenced body {body.name} already exists in renderer {self.name}")
             return False
         return True
+
+    def DeleteReferencedBody(self, name: str) -> bool:  # noqa: N802
+        self.set_up = False
+        return delete_ptr_if_name_exists(name, self.referenced_body_ptrs)
+
+    def ClearReferencedBodies(self) -> None:  # noqa: N802
+        self.set_up = False
+        self.referenced_body_ptrs.clear()
 
     def _check_bodies(self) -> bool:
         for body in self.referenced_body_ptrs:

@@ -11,7 +11,8 @@ from __future__ import annotations
 import threading
 import time
 
-from m3t_tpu.common import add_ptr_if_name_not_exists, set_up_object_ptrs
+from m3t_tpu.common import (add_ptr_if_name_not_exists, delete_ptr_if_name_exists,
+                            set_up_object_ptrs)
 from m3t_tpu.utils import yaml_io
 
 
@@ -113,6 +114,56 @@ class Tracker:
     def AddSubscriber(self, subscriber) -> bool:  # noqa: N802
         self.set_up = False
         return add_ptr_if_name_not_exists(subscriber, self.subscriber_ptrs)
+
+    def _delete(self, name: str, ptrs: list, kind: str) -> bool:
+        # Tracker::Delete* (tracker.cpp:52-60 and siblings).
+        self.set_up = False
+        if not delete_ptr_if_name_exists(name, ptrs):
+            print(f"{kind} {name} not found")
+            return False
+        return True
+
+    def DeleteOptimizer(self, name: str) -> bool:  # noqa: N802
+        return self._delete(name, self.optimizer_ptrs, "Optimizer")
+
+    def DeleteDetector(self, name: str) -> bool:  # noqa: N802
+        return self._delete(name, self.detector_ptrs, "Detector")
+
+    def DeleteRefiner(self, name: str) -> bool:  # noqa: N802
+        return self._delete(name, self.refiner_ptrs, "Refiner")
+
+    def DeleteViewer(self, name: str) -> bool:  # noqa: N802
+        return self._delete(name, self.viewer_ptrs, "Viewer")
+
+    def DeletePublisher(self, name: str) -> bool:  # noqa: N802
+        return self._delete(name, self.publisher_ptrs, "Publisher")
+
+    def DeleteSubscriber(self, name: str) -> bool:  # noqa: N802
+        return self._delete(name, self.subscriber_ptrs, "Subscriber")
+
+    def ClearOptimizers(self) -> None:  # noqa: N802
+        self.set_up = False
+        self.optimizer_ptrs.clear()
+
+    def ClearDetectors(self) -> None:  # noqa: N802
+        self.set_up = False
+        self.detector_ptrs.clear()
+
+    def ClearRefiners(self) -> None:  # noqa: N802
+        self.set_up = False
+        self.refiner_ptrs.clear()
+
+    def ClearViewers(self) -> None:  # noqa: N802
+        self.set_up = False
+        self.viewer_ptrs.clear()
+
+    def ClearPublishers(self) -> None:  # noqa: N802
+        self.set_up = False
+        self.publisher_ptrs.clear()
+
+    def ClearSubscribers(self) -> None:  # noqa: N802
+        self.set_up = False
+        self.subscriber_ptrs.clear()
 
     # -- setup (tracker.cpp:26-40, 782-899) --------------------------------------------
 
@@ -388,17 +439,29 @@ class Tracker:
                 return False
         return True
 
+    def DetectPoses(self, names, detected_names: set) -> bool:  # noqa: N802
+        """Run every detecting detector (tracker.cpp:408-414)."""
+        for detector in self.detecting_detector_ptrs:
+            if not detector.DetectPoses(names, detected_names):
+                return False
+        return True
+
+    def RefinePoses(self, names) -> bool:  # noqa: N802
+        """Run every detecting refiner (tracker.cpp:416-421)."""
+        for refiner in self.detecting_refiner_ptrs:
+            if not refiner.RefinePoses(names):
+                return False
+        return True
+
     def ExecuteDetectingStep(self, iteration: int) -> bool:  # noqa: N802
         if not self.names_detecting:
             return True
         self._move_back_poses(self.names_detecting)
         names_detected: set[str] = set()
-        for detector in self.detecting_detector_ptrs:
-            if not detector.DetectPoses(self.names_detecting, names_detected):
-                return False
-        for refiner in self.detecting_refiner_ptrs:
-            if not refiner.RefinePoses(names_detected):
-                return False
+        if not self.DetectPoses(self.names_detecting, names_detected):
+            return False
+        if not self.RefinePoses(names_detected):
+            return False
         if not self.CalculateConsistentPoses():
             return False
         if self.start_tracking_after_detection:
@@ -422,9 +485,8 @@ class Tracker:
             corr_save_idx = iteration * self.n_corr_iterations + corr_iteration
             if not self.CalculateCorrespondences(iteration, corr_iteration):
                 return False
-            for modality in self.tracking_modality_ptrs:
-                if not modality.VisualizeCorrespondences(corr_save_idx):
-                    return False
+            if not self.VisualizeCorrespondences(corr_save_idx):
+                return False
             for update_iteration in range(self.n_update_iterations):
                 update_save_idx = (corr_save_idx * self.n_update_iterations
                                    + update_iteration)
@@ -434,15 +496,32 @@ class Tracker:
                 if not self.CalculateOptimization(iteration, corr_iteration,
                                                   update_iteration):
                     return False
-                for modality in self.tracking_modality_ptrs:
-                    if not modality.VisualizeOptimization(update_save_idx):
-                        return False
+                if not self.VisualizeOptimization(update_save_idx):
+                    return False
         if not self.CalculateResults(iteration):
             return False
+        return self.VisualizeResults(iteration)
+
+    def VisualizeCorrespondences(self, save_idx: int) -> bool:  # noqa: N802
         for modality in self.tracking_modality_ptrs:
-            if not modality.VisualizeResults(iteration):
+            if not modality.VisualizeCorrespondences(save_idx):
                 return False
         return True
+
+    def VisualizeOptimization(self, save_idx: int) -> bool:  # noqa: N802
+        for modality in self.tracking_modality_ptrs:
+            if not modality.VisualizeOptimization(save_idx):
+                return False
+        return True
+
+    def VisualizeResults(self, save_idx: int) -> bool:  # noqa: N802
+        for modality in self.tracking_modality_ptrs:
+            if not modality.VisualizeResults(save_idx):
+                return False
+        return True
+
+    def AreAllObjectsSetUp(self) -> bool:  # noqa: N802
+        return self._are_all_objects_set_up()
 
     def StartModalities(self, iteration: int) -> bool:  # noqa: N802
         for renderer in self.starting_start_modality_renderer_ptrs:

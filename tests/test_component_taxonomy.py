@@ -263,6 +263,43 @@ def test_methods_fail_before_setup(tmp_path):
     assert not histograms.UpdateHistograms()
 
 
+def test_container_management_api():
+    """Delete*/Clear* parity (tracker.cpp:52-115, link.h, optimizer.h, refiner.h)."""
+    tracker = Tracker("tax_mgmt_tracker")
+    link = Link("tax_mgmt_link")
+    optimizer = Optimizer("tax_mgmt_opt", link)
+    refiner = Refiner("tax_mgmt_refiner")
+    assert tracker.AddOptimizer(optimizer)
+    assert not tracker.AddOptimizer(optimizer)  # duplicate name rejected
+    assert tracker.DeleteOptimizer("tax_mgmt_opt")
+    assert not tracker.DeleteOptimizer("tax_mgmt_opt")  # already gone
+    assert tracker.AddOptimizer(optimizer)
+    tracker.ClearOptimizers()
+    assert tracker.optimizer_ptrs == []
+    assert tracker.AddRefiner(refiner) and tracker.DeleteRefiner("tax_mgmt_refiner")
+    tracker.ClearRefiners()
+
+    child = Link("tax_mgmt_child")
+    assert link.AddChildLink(child) and link.DeleteChildLink("tax_mgmt_child")
+    link.ClearChildLinks()
+    assert link.child_link_ptrs == []
+
+    l1, l2 = Link("tax_mgmt_c1"), Link("tax_mgmt_c2")
+    constraint = Constraint("tax_mgmt_c", l1, l2)
+    assert optimizer.AddConstraint(constraint)
+    assert optimizer.DeleteConstraint("tax_mgmt_c")
+    optimizer.ClearConstraints()
+    soft = SoftConstraint("tax_mgmt_sc", l1, l2)
+    assert optimizer.AddSoftConstraint(soft)
+    optimizer.ClearSoftConstraints()
+    assert optimizer.soft_constraint_ptrs == []
+
+    assert refiner.AddOptimizer(optimizer) and refiner.DeleteOptimizer("tax_mgmt_opt")
+    refiner.ClearOptimizers()
+    # Vacuously true for an empty tracker (tracker.cpp:901-922 iterates empty lists).
+    assert tracker.AreAllObjectsSetUp()
+
+
 # ---------------------------------------------------------------------------------------
 # 3. Refiner behavior (refiner.cpp:76-117)
 # ---------------------------------------------------------------------------------------
