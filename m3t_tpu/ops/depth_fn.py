@@ -108,8 +108,14 @@ def calculate_correspondences(
     measure_occlusions: bool = False,
     modeled_occlusion: DepthModeledOcclusionInputs | None = None,
     silhouette_check: SilhouetteCheckInputs | None = None,
+    presampled=None,
 ) -> DepthDataPoints:
-    """One correspondence pass (reference: CalculateCorrespondences, cpp:252-315)."""
+    """One correspondence pass (reference: CalculateCorrespondences, cpp:252-315).
+
+    presampled: optional (d (P, K, K) f32 raw depth values, in_crop (P, K, K) bool)
+    from ops/depth_fast.presample_windows — replaces the in-place window gather on the
+    TPU pipeline path (identical values whenever the window lies inside the crop).
+    """
     P = cfg.n_points_max
     max_n_strides = int(considered_distance / cfg.stride_length + 0.5)
     max_n_strides = max(max_n_strides, 1)
@@ -261,8 +267,12 @@ def calculate_correspondences(
     v_ok = vs <= v_max[:, None]
     uu = jnp.clip(us, 0, width - 1)
     vv = jnp.clip(vs, 0, height - 1)
-    d = depth_image[vv[:, :, None], uu[:, None, :]].astype(jnp.float32)  # (P, Kv, Ku)
     sample_ok = v_ok[:, :, None] & u_ok[:, None, :]
+    if presampled is not None:
+        d, in_crop = presampled
+        sample_ok &= in_crop
+    else:
+        d = depth_image[vv[:, :, None], uu[:, None, :]].astype(jnp.float32)  # (P,Kv,Ku)
     in_range = (d > min_depth_value[:, None, None]) & (d < max_depth_value[:, None, None])
     ok = sample_ok & in_range
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from m3t_tpu.common import pose_variation
+from m3t_tpu.ops import depth_fast
 from m3t_tpu.ops import depth_fn
 from m3t_tpu.ops import histogram as hist_ops
 from m3t_tpu.ops import kinematics as kin_ops
@@ -418,6 +419,10 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
     hist_f, hist_b = state.histogram_f, state.histogram_b
     bin_crop, bin_cropT, corner_u, corner_v = _prepare_crops(pcfg, intr, images, pose)
     rtab = region_fast.ratio_table(hist_f, hist_b)
+    if use_depth:
+        dfu, dfv, dppu, dppv = depth_intr
+        dcropT, dcorner_u, dcorner_v = depth_fast.depth_crops(
+            depth_images, pose, dfu, dfv, dppu, dppv, pcfg.crop_size)
 
     def scene_render(pose):
         # Correspondence renderers StartRendering (tracker.cpp:448-451): the full
@@ -456,15 +461,22 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
             cd, depth_std = pcfg.iteration_depth(corr_iteration)
             dfu, dfv, dppu, dppv = depth_intr
             d_modeled, d_sil = _scene_depth_inputs(pcfg, rend, scene_geom)
+            # Window samples come from the body-centered crops via the Pallas
+            # staircase kernel (ops/depth_fast.py) instead of per-body HBM gathers.
+            dview = jax.vmap(lambda m, p: _select_depth_view(m, p))(depth_model, pose)
+            dpre = depth_fast.presample_windows(
+                pcfg.depth_cfg, cd, dview.center_f_body, pose, dcropT,
+                dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv,
+                depth_images.shape[2], depth_images.shape[1])
             depth_points = jax.vmap(
-                lambda dimg, dmdl, p, dmo, dsc: depth_fn.calculate_correspondences(
-                    pcfg.depth_cfg, cd, _select_depth_view(dmdl, p),
+                lambda dimg, dpv, p, dmo, dsc, pre: depth_fn.calculate_correspondences(
+                    pcfg.depth_cfg, cd, dpv,
                     jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
                     dfu, dfv, dppu, dppv, depth_images.shape[2],
                     depth_images.shape[1], depth_scale, handle_occlusions,
                     measure_occlusions=pcfg.depth_measure_occlusions,
-                    modeled_occlusion=dmo, silhouette_check=dsc)
-            )(depth_images, depth_model, pose, d_modeled, d_sil)
+                    modeled_occlusion=dmo, silhouette_check=dsc, presampled=pre)
+            )(depth_images, dview, pose, d_modeled, d_sil, dpre)
         if pcfg.use_texture and texture_points is not None:
             tex_std = pcfg.texture_standard_deviations[
                 min(corr_iteration, len(pcfg.texture_standard_deviations) - 1)]
