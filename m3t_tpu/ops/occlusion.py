@@ -193,6 +193,7 @@ class SceneCoeffs(NamedTuple):
     coeffs: jnp.ndarray        # (B, T, 12) f32 edge + inverse-depth planes
     tri_valid: jnp.ndarray     # (B, T) bool
     sil_id: jnp.ndarray        # (B, T) int32 combined id: body_id << 8 | region_id
+    bbox: jnp.ndarray          # (B, T, 4) f32 focused-space [u0, u1, v0, v1]
     corner_u: jnp.ndarray      # (B,)
     corner_v: jnp.ndarray      # (B,)
     scale: jnp.ndarray         # (B,)
@@ -205,7 +206,11 @@ def focused_scene_coeffs(geom: SceneGeometry, scene_poses, intr, width: int,
     """Crop parameters + focused-space triangle coefficients, no rasterization.
 
     Same crop math as :func:`focused_render` (renderer.cpp:348-406); the returned
-    coefficients evaluate in focused-crop pixel coordinates.
+    coefficients evaluate in focused-crop pixel coordinates.  Triangles are
+    front-compacted by validity (backface-culled / degenerate / behind-camera
+    triangles move to the tail) so the point-query kernel's dynamic loop bound
+    skips them — the pose-dependent equivalent of the reference only rasterizing
+    front faces (glEnable(GL_CULL_FACE), renderer_geometry.cpp).
     """
     fu, fv, ppu, ppv = intr
 
@@ -222,47 +227,66 @@ def focused_scene_coeffs(geom: SceneGeometry, scene_poses, intr, width: int,
             v_cam, sil, fu * scale, fv * scale,
             (ppu - corner_u) * scale, (ppv - corner_v) * scale,
             cull_backfaces=cull, z_min=z_min)
-        return (soup.coeffs, soup.valid & tri_valid, corner_u, corner_v, scale,
-                visible)
+        valid = soup.valid & tri_valid
+        order = jnp.argsort(~valid, stable=True)    # valid triangles first
+        return (soup.coeffs[order], valid[order], sil[order], soup.bbox[order],
+                corner_u, corner_v, scale, visible)
 
-    coeffs, valid, corner_u, corner_v, scale, visible = jax.vmap(one)(
+    coeffs, valid, sil_id, bbox, corner_u, corner_v, scale, visible = jax.vmap(one)(
         geom.triangles, geom.owner, geom.sil_id, geom.tri_valid, geom.cull,
         geom.ref_owner, geom.ref_radius, geom.ref_valid, scene_poses)
-    return SceneCoeffs(coeffs=coeffs, tri_valid=valid, sil_id=geom.sil_id,
+    return SceneCoeffs(coeffs=coeffs, tri_valid=valid, sil_id=sil_id, bbox=bbox,
                        corner_u=corner_u, corner_v=corner_v, scale=scale,
                        body_visible=visible)
 
 
-def _pq_kernel(coeffs_ref, sil_ref, u_ref, v_ref, inv_ref, id_ref, *, n_tri: int):
+def _pq_kernel(nvalid_ref, coeffs_ref, sil_ref, u_ref, v_ref, inv_ref, id_ref,
+               *, n_tri: int):
     """Pallas point-query kernel: per query pixel, max inverse depth + its id.
 
-    coeffs_ref (Tp, 12) f32 (invalid triangles pre-zeroed), sil_ref (Tp, 1) i32,
+    coeffs_ref (Tp, 12) f32 in SMEM (invalid triangles pre-zeroed), sil_ref
+    (Tp, 1) i32 in SMEM, nvalid_ref (1, 1) i32 in SMEM (dynamic loop bound),
     u/v/inv (QS, 128) f32, id (QS, 128) i32.  The triangle loop runs with the
     coefficients as scalars against full query tiles, so the only live tensors
     are the (QS, 128) accumulators — the (queries x triangles) product never
     exists, unlike the XLA broadcast formulation which materializes it in HBM
-    at large batch sizes.
+    at large batch sizes.  The loop processes 4 triangles per step on two
+    independent accumulator chains (merged at the end) so the scalar loads and
+    the select chains pipeline.  The loop bound is the caller-provided count of
+    leading valid triangles (:func:`focused_scene_coeffs` front-compacts, so
+    backface/degenerate triangles cost nothing); triangles past the bound and
+    the zero-padded tail of the last step contribute nothing anyway, making
+    any over-estimate safe.
     """
     u = u_ref[...]
     v = v_ref[...]
 
-    def step(t, carry):
-        best, bid = carry
+    def eval_one(t, best, bid):
         e0 = coeffs_ref[t, 0] * u + coeffs_ref[t, 1] * v + coeffs_ref[t, 2]
         e1 = coeffs_ref[t, 3] * u + coeffs_ref[t, 4] * v + coeffs_ref[t, 5]
         e2 = coeffs_ref[t, 6] * u + coeffs_ref[t, 7] * v + coeffs_ref[t, 8]
         inv = coeffs_ref[t, 9] * u + coeffs_ref[t, 10] * v + coeffs_ref[t, 11]
-        inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (inv > 1e-12)
-        m = jnp.where(inside, inv, 0.0)
-        sel = m > best
-        return (jnp.where(sel, m, best),
-                jnp.where(sel, sil_ref[t, 0], bid))
+        m = jnp.minimum(jnp.minimum(e0, e1), e2)
+        s = jnp.where((m >= 0.0) & (inv > 1e-12), inv, 0.0)
+        sel = s > best
+        return jnp.where(sel, s, best), jnp.where(sel, sil_ref[t, 0], bid)
 
-    best, bid = jax.lax.fori_loop(
-        0, n_tri, step,
-        (jnp.zeros(u.shape, jnp.float32), jnp.zeros(u.shape, jnp.int32)))
-    inv_ref[...] = best
-    id_ref[...] = jnp.where(best > 0.0, bid, 0)
+    def step(i, carry):
+        b0, i0, b1, i1 = carry
+        t = i * 4
+        b0, i0 = eval_one(t, b0, i0)
+        b1, i1 = eval_one(t + 1, b1, i1)
+        b0, i0 = eval_one(t + 2, b0, i0)
+        b1, i1 = eval_one(t + 3, b1, i1)
+        return b0, i0, b1, i1
+
+    n = jnp.minimum(nvalid_ref[0, 0], n_tri)
+    zf = jnp.zeros(u.shape, jnp.float32)
+    zi = jnp.zeros(u.shape, jnp.int32)
+    b0, i0, b1, i1 = jax.lax.fori_loop(0, (n + 3) // 4, step, (zf, zi, zf, zi))
+    sel = b1 > b0
+    inv_ref[...] = jnp.where(sel, b1, b0)
+    id_ref[...] = jnp.where(sel, i1, i0)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -281,19 +305,25 @@ def _query_eval(coeffs, tri_valid, sil_id, u, v):
     vf = jnp.full((qs * 128,), -1e9, jnp.float32).at[:q].set(
         jnp.asarray(v, jnp.float32).reshape(-1)).reshape(qs, 128)
     n_tri = coeffs.shape[0]
-    tp = _round_up(n_tri, 8)
+    tp = _round_up(n_tri, 4)
     cz = jnp.where(tri_valid[:, None], coeffs, 0.0)
     cz = jnp.pad(cz, ((0, tp - n_tri), (0, 0)))
     sil = jnp.pad(jnp.asarray(sil_id, jnp.int32), (0, tp - n_tri))[:, None]
+    # Dynamic loop bound: (last valid index + 1).  Equals the valid count for
+    # front-compacted inputs (focused_scene_coeffs); a safe over-estimate for
+    # arbitrary masks since invalid coefficients are zeroed.
+    last = n_tri - 1 - jnp.argmax(tri_valid[::-1].astype(jnp.int32))
+    nvalid = jnp.where(jnp.any(tri_valid), last + 1, 0).astype(jnp.int32)
 
     inv_best, idq = pl.pallas_call(
         functools.partial(_pq_kernel, n_tri=n_tri),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((qs, 128), jnp.float32),
                    jax.ShapeDtypeStruct((qs, 128), jnp.int32)],
         interpret=_use_interpret(),
-    )(cz, sil, uf, vf)
+    )(nvalid.reshape(1, 1), cz, sil, uf, vf)
     return (inv_best.reshape(-1)[:q].reshape(shape),
             idq.reshape(-1)[:q].reshape(shape))
 

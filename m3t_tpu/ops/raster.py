@@ -34,12 +34,15 @@ class TriangleSoup(NamedTuple):
     valid:  (T,) bool
     ids:    (T,) int32 — body or region id per triangle
     normals:(T, 3) float32 — camera-frame unit normals (for normal rendering)
+    bbox:   (T, 4) float32 — projected [u_min, u_max, v_min, v_max] per triangle
+            (pixel coords; garbage for invalid triangles), for point-query culling
     """
 
     coeffs: jax.Array
     valid: jax.Array
     ids: jax.Array
     normals: jax.Array
+    bbox: jax.Array
 
 
 def triangle_coefficients(
@@ -105,7 +108,11 @@ def triangle_coefficients(
     n = jnp.cross(e01, e02)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
 
-    return TriangleSoup(coeffs, valid, jnp.asarray(ids, jnp.int32), n)
+    bbox = jnp.stack(
+        [jnp.min(u, axis=-1), jnp.max(u, axis=-1),
+         jnp.min(vv, axis=-1), jnp.max(vv, axis=-1)], axis=-1)
+
+    return TriangleSoup(coeffs, valid, jnp.asarray(ids, jnp.int32), n, bbox)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "chunk", "with_normals"))

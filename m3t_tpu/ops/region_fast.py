@@ -368,15 +368,29 @@ def line_geometry(cfg: RegionConfig, scale: int, points: ViewPointsCL, n_lines,
     valid &= in_crop
 
     # Region checking is part of IsLineValid (region_modality.cpp:1293-1341);
-    # occlusions go through the two-pass fallback (cpp:435-463).
+    # occlusions go through the two-pass fallback (cpp:435-463).  When both
+    # checks come as point-query SceneCoeffs (the fused-pipeline default) they
+    # share ONE per-line-culled scene evaluation.
     from m3t_tpu.ops import region_fn as _rfn
+    rc_query = isinstance(region_check, _rfn.RegionCheckQueryInputs)
+    mo_query = isinstance(modeled_occlusion, _rfn.ModeledOcclusionQueryInputs)
+    combined_rc = combined_mo = None
+    if (rc_query or mo_query) and (region_check is None or rc_query) \
+            and (modeled_occlusion is None or mo_query):
+        combined_rc, combined_mo = _rfn.combined_scene_checks(
+            cfg, fscale, center_u, center_v, normal_u, normal_v, z,
+            points.modeled_depth_offset, fu,
+            region_check if rc_query else None,
+            modeled_occlusion if mo_query else None)
     if region_check is not None:
-        rc_size = (region_check.image_size
-                   if isinstance(region_check, _rfn.RegionCheckQueryInputs)
-                   else region_check.silhouette.shape[0])
-        valid &= _rfn.region_check_ok(
-            cfg, fscale, center_u, center_v, normal_u, normal_v, region_check,
-            rc_size)
+        if combined_rc is not None:
+            valid &= combined_rc
+        else:
+            rc_size = (region_check.image_size if rc_query
+                       else region_check.silhouette.shape[0])
+            valid &= _rfn.region_check_ok(
+                cfg, fscale, center_u, center_v, normal_u, normal_v, region_check,
+                rc_size)
     occl_ok = jnp.ones(valid.shape, bool)
     if measured_occlusion is not None:
         occl_ok &= _rfn._measured_occlusion_free(
@@ -385,12 +399,14 @@ def line_geometry(cfg: RegionConfig, scale: int, points: ViewPointsCL, n_lines,
             measured_occlusion.depth_image.shape[1],
             measured_occlusion.depth_image.shape[0])
     if modeled_occlusion is not None:
-        mo_size = (modeled_occlusion.image_size
-                   if isinstance(modeled_occlusion, _rfn.ModeledOcclusionQueryInputs)
-                   else modeled_occlusion.focused_depth.shape[0])
-        occl_ok &= _rfn.modeled_occlusion_free(
-            cfg, center_u, center_v, z, points.modeled_depth_offset, fu,
-            modeled_occlusion, mo_size)
+        if combined_mo is not None:
+            occl_ok &= combined_mo
+        else:
+            mo_size = (modeled_occlusion.image_size if mo_query
+                       else modeled_occlusion.focused_depth.shape[0])
+            occl_ok &= _rfn.modeled_occlusion_free(
+                cfg, center_u, center_v, z, points.modeled_depth_offset, fu,
+                modeled_occlusion, mo_size)
     if measured_occlusion is not None or modeled_occlusion is not None:
         valid_with = valid & occl_ok
         n_with = jnp.sum(valid_with)

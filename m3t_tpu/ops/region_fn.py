@@ -215,9 +215,12 @@ def _measured_occlusion_free(cfg: RegionConfig, center_f_body, depth_offset,
     return ~jnp.any(occluding, axis=(1, 2))
 
 
-def modeled_occlusion_free(cfg: RegionConfig, center_u, center_v, depth, depth_offset,
-                           fu, occ: ModeledOcclusionInputs, image_size: int):
-    """IsLineUnoccludedModeled (region_modality.cpp:1391-1431), batched over lines."""
+def _modeled_occlusion_grid(cfg: RegionConfig, center_u, center_v, depth,
+                            fu, occ, image_size):
+    """Sample grid of IsLineUnoccludedModeled (region_modality.cpp:1391-1431).
+
+    Returns (uu (L, K), vv (L, K), sample_ok (L, K, K)) with the (kv, ku) sample
+    at pixel (vv[kv], uu[ku])."""
     z_safe = jnp.where(depth > 0.0, depth, 1.0)
     meter_to_pixel = (fu / z_safe) * occ.scale
     diameter = 2.0 * cfg.modeled_occlusion_radius * meter_to_pixel
@@ -243,6 +246,21 @@ def modeled_occlusion_free(cfg: RegionConfig, center_u, center_v, depth, depth_o
     uu = jnp.clip(us, 0, image_size - 1)
     vv = jnp.clip(vs, 0, image_size - 1)
     sample_ok = v_ok[:, :, None] & u_ok[:, None, :]
+    return uu, vv, sample_ok
+
+
+def _modeled_occlusion_from_min_depth(cfg: RegionConfig, depth, depth_offset,
+                                      occ, min_depth):
+    min_allowed = depth - depth_offset - cfg.modeled_occlusion_threshold
+    free = min_depth > min_allowed
+    return jnp.where(occ.body_visible, free, True)
+
+
+def modeled_occlusion_free(cfg: RegionConfig, center_u, center_v, depth, depth_offset,
+                           fu, occ: ModeledOcclusionInputs, image_size: int):
+    """IsLineUnoccludedModeled (region_modality.cpp:1391-1431), batched over lines."""
+    uu, vv, sample_ok = _modeled_occlusion_grid(
+        cfg, center_u, center_v, depth, fu, occ, image_size)
     if isinstance(occ, ModeledOcclusionQueryInputs):
         from m3t_tpu.ops import occlusion as occlusion_ops
 
@@ -256,14 +274,15 @@ def modeled_occlusion_free(cfg: RegionConfig, center_u, center_v, depth, depth_o
     else:
         d = occ.focused_depth[vv[:, :, None], uu[:, None, :]]  # (L, Kv, Ku)
         min_depth = jnp.min(jnp.where(sample_ok, d, jnp.inf), axis=(1, 2))
-    min_allowed = depth - depth_offset - cfg.modeled_occlusion_threshold
-    free = min_depth > min_allowed
-    return jnp.where(occ.body_visible, free, True)
+    return _modeled_occlusion_from_min_depth(cfg, depth, depth_offset, occ,
+                                             min_depth)
 
 
-def region_check_ok(cfg: RegionConfig, fscale, center_u, center_v, normal_u, normal_v,
-                    chk: RegionCheckInputs, image_size: int):
-    """IsDynamicLineRegionSufficient (region_modality.cpp:1293-1341), batched."""
+def _region_check_grid(cfg: RegionConfig, fscale, center_u, center_v,
+                       normal_u, normal_v, chk, image_size):
+    """Sample strides of IsDynamicLineRegionSufficient (cpp:1293-1341).
+
+    Returns (fg_u, fg_v, bg_u, bg_v (L, K) int32 clipped pixels, bg_inb (L, K))."""
     focused_min_cd = cfg.min_continuous_distance * fscale * chk.scale
     focused_stride = jnp.maximum(
         (focused_min_cd - KREGION_OFFSET) / KN_REGION_STRIDE, 0.0
@@ -275,6 +294,32 @@ def region_check_ok(cfg: RegionConfig, fscale, center_u, center_v, normal_u, nor
     off_u = (KREGION_OFFSET + i[None, :] * focused_stride) * normal_u[:, None]
     off_v = (KREGION_OFFSET + i[None, :] * focused_stride) * normal_v[:, None]
 
+    # Foreground side has no bounds check in the reference.
+    fg_u = jnp.clip(_trunc(fcu[:, None] - off_u), 0, image_size - 1)
+    fg_v = jnp.clip(_trunc(fcv[:, None] - off_v), 0, image_size - 1)
+
+    # Background side: break on leaving the image.
+    bu = fcu[:, None] + off_u
+    bv = fcv[:, None] + off_v
+    inb = (bu >= 0) & (bu < image_size) & (bv >= 0) & (bv < image_size)
+    inb = jnp.cumprod(inb.astype(jnp.int32), axis=1).astype(bool)
+    bg_u = jnp.clip(_trunc(bu), 0, image_size - 1)
+    bg_v = jnp.clip(_trunc(bv), 0, image_size - 1)
+    return fg_u, fg_v, bg_u, bg_v, inb
+
+
+def _region_check_from_vals(chk, fg_vals, bg_vals, bg_inb):
+    fg_ok = jnp.all(fg_vals == chk.region_id, axis=1)
+    bg_ok = jnp.all(~bg_inb | (bg_vals != chk.region_id), axis=1)
+    return jnp.where(chk.body_visible, fg_ok & bg_ok, True)
+
+
+def region_check_ok(cfg: RegionConfig, fscale, center_u, center_v, normal_u, normal_v,
+                    chk: RegionCheckInputs, image_size: int):
+    """IsDynamicLineRegionSufficient (region_modality.cpp:1293-1341), batched."""
+    fg_u, fg_v, bg_u, bg_v, inb = _region_check_grid(
+        cfg, fscale, center_u, center_v, normal_u, normal_v, chk, image_size)
+
     if isinstance(chk, RegionCheckQueryInputs):
         from m3t_tpu.ops import occlusion as occlusion_ops
 
@@ -285,25 +330,67 @@ def region_check_ok(cfg: RegionConfig, fscale, center_u, center_v, normal_u, nor
         def sil_at(u_i, v_i):
             return chk.silhouette[v_i, u_i]
 
-    # Foreground side: all samples must equal region_id (no bounds check in reference).
-    fu_ = _trunc(fcu[:, None] - off_u)
-    fv_ = _trunc(fcv[:, None] - off_v)
-    fg_vals = sil_at(jnp.clip(fu_, 0, image_size - 1),
-                     jnp.clip(fv_, 0, image_size - 1))
-    fg_ok = jnp.all(fg_vals == chk.region_id, axis=1)
+    fg_vals = sil_at(fg_u, fg_v)
+    bg_vals = sil_at(bg_u, bg_v)
+    return _region_check_from_vals(chk, fg_vals, bg_vals, inb)
 
-    # Background side: break on leaving the image; inside samples must differ.
-    bu = fcu[:, None] + off_u
-    bv = fcv[:, None] + off_v
-    inb = (bu >= 0) & (bu < image_size) & (bv >= 0) & (bv < image_size)
-    inb = jnp.cumprod(inb.astype(jnp.int32), axis=1).astype(bool)
-    bu_i = jnp.clip(_trunc(bu), 0, image_size - 1)
-    bv_i = jnp.clip(_trunc(bv), 0, image_size - 1)
-    bg_vals = sil_at(bu_i, bv_i)
-    bg_ok = jnp.all(~inb | (bg_vals != chk.region_id), axis=1)
 
-    ok = fg_ok & bg_ok
-    return jnp.where(chk.body_visible, ok, True)
+def combined_scene_checks(cfg: RegionConfig, fscale, center_u, center_v,
+                          normal_u, normal_v, z, modeled_depth_offset, fu,
+                          region_check: RegionCheckQueryInputs | None,
+                          modeled_occlusion: ModeledOcclusionQueryInputs | None):
+    """Region checking + modeled occlusion via ONE culled scene evaluation.
+
+    Both checks consume the same SceneCoeffs (pipeline._scene_region_inputs), and
+    all their samples for one line sit within a few pixels of each other, so the
+    fused pipeline batches them into a single Pallas point-query call
+    (ops/occlusion.py _query_eval) instead of three separate kernel launches.
+    Returns (region_ok (L,) | None, modeled_free (L,) | None) with
+    identical semantics to :func:`region_check_ok` / :func:`modeled_occlusion_free`.
+    """
+    from m3t_tpu.ops import occlusion as occlusion_ops
+
+    src = region_check if region_check is not None else modeled_occlusion
+    image_size = src.image_size
+    sil = (region_check.sil_region_id if region_check is not None
+           else jnp.zeros(src.coeffs.shape[0], jnp.int32))
+
+    qs_u, qs_v = [], []
+    if modeled_occlusion is not None:
+        uu, vv, sample_ok = _modeled_occlusion_grid(
+            cfg, center_u, center_v, z, fu, modeled_occlusion, image_size)
+        lcount, kk = uu.shape
+        gu = jnp.broadcast_to(uu[:, None, :], (lcount, kk, kk)).reshape(lcount, -1)
+        gv = jnp.broadcast_to(vv[:, :, None], (lcount, kk, kk)).reshape(lcount, -1)
+        qs_u.append(gu)
+        qs_v.append(gv)
+    if region_check is not None:
+        fg_u, fg_v, bg_u, bg_v, bg_inb = _region_check_grid(
+            cfg, fscale, center_u, center_v, normal_u, normal_v, region_check,
+            image_size)
+        qs_u += [fg_u, bg_u]
+        qs_v += [fg_v, bg_v]
+
+    u_all = jnp.concatenate(qs_u, axis=1).astype(jnp.float32)
+    v_all = jnp.concatenate(qs_v, axis=1).astype(jnp.float32)
+    inv_all, id_all = occlusion_ops._query_eval(
+        src.coeffs, src.tri_valid, sil, u_all, v_all)
+
+    off = 0
+    modeled_free = region_ok = None
+    if modeled_occlusion is not None:
+        inv = inv_all[:, : kk * kk].reshape(lcount, kk, kk)
+        off = kk * kk
+        min_depth = occlusion_ops.inv_to_depth(
+            jnp.max(jnp.where(sample_ok, inv, 0.0), axis=(1, 2)))
+        modeled_free = _modeled_occlusion_from_min_depth(
+            cfg, z, modeled_depth_offset, modeled_occlusion, min_depth)
+    if region_check is not None:
+        kr = fg_u.shape[1]
+        fg_vals = id_all[:, off: off + kr]
+        bg_vals = id_all[:, off + kr: off + 2 * kr]
+        region_ok = _region_check_from_vals(region_check, fg_vals, bg_vals, bg_inb)
+    return region_ok, modeled_free
 
 
 def calculate_correspondences(
