@@ -81,6 +81,13 @@ class YCBEvaluator:
         self.run_sequentially = True
         self.depth_scale = 0.0001  # YCB-Video factor_depth = 10000
         self.intrinsics = YCB_INTRINSICS
+        # TPU throughput path: every (sequence, body) run tracks as ONE batch
+        # through pipeline.tracking_cycle_rgbd (the analogue of the reference's
+        # `#pragma omp parallel for` over sequences, ycb_evaluator.cpp:210).
+        # Keyframe metrics, detector initialization and (optional) host texture
+        # features stay host-side.
+        self.use_fused_pipeline = False
+        self.pipeline_config = None  # Optional m3t_tpu.pipeline.PipelineConfig
         # Setter hooks (evaluate_ycb_dataset.cpp:46-117)
         self.tracker_setter = lambda t: None
         self.region_modality_setter = lambda m: None
@@ -204,6 +211,8 @@ class YCBEvaluator:
     def Evaluate(self) -> dict:  # noqa: N802
         if not self.set_up:
             self.SetUp()
+        if self.use_fused_pipeline:
+            return self._evaluate_fused()
         all_results = {}
         for sequence_id in self.sequence_ids:
             body_names = self.sequence2body_names[sequence_id]
@@ -221,6 +230,249 @@ class YCBEvaluator:
             "adds_auc": float(np.mean([r["adds_auc"] for r in flat])) if flat else 0.0,
         }
         print(f"YCB average: ADD AUC = {self.results['add_auc']:.4f}, "
+              f"ADD-S AUC = {self.results['adds_auc']:.4f}")
+        return self.results
+
+    # -- fused TPU throughput path -----------------------------------------------------
+
+    def _fused_pipeline_config(self):
+        from m3t_tpu import pipeline
+
+        pcfg = self.pipeline_config or pipeline.PipelineConfig(
+            region_measure_occlusions=self.use_depth_modality,
+            depth_measure_occlusions=self.use_depth_modality)
+        # Modality presence is decided by the evaluator flags (the host path wires
+        # modalities the same way, _setup_tracker).
+        return pcfg._replace(use_depth=self.use_depth_modality,
+                             use_texture=self.use_texture_modality)
+
+    def _make_texture_modality(self, entry_name: str, body: Body, color_camera):
+        rg = RendererGeometry(f"{entry_name}_rg")
+        rg.AddBody(body)
+        if not rg.SetUp():
+            raise RuntimeError("renderer geometry failed")
+        silhouette_renderer = FocusedSilhouetteRenderer(
+            f"{entry_name}_silhouette_renderer", rg, color_camera,
+            id_type=IDType.BODY)
+        silhouette_renderer.AddReferencedBody(body)
+        if not silhouette_renderer.SetUp():
+            raise RuntimeError("silhouette renderer failed")
+        modality = TextureModality(f"{entry_name}_texture_modality", body,
+                                   color_camera, silhouette_renderer)
+        self.texture_modality_setter(modality)
+        if not modality.SetUp():
+            raise RuntimeError("texture modality failed")
+        return modality
+
+    def _evaluate_fused(self) -> dict:
+        """All (sequence, body) runs as ONE batch through tracking_cycle_rgbd.
+
+        The device executes the full RGB-D cycle (region lines + depth points +
+        measured occlusions + optional texture GN terms) for every run at once;
+        the host streams frames, feeds detector initializations, runs the OpenCV
+        feature path for texture keyframes, and evaluates ADD/ADD-S on keyframes
+        exactly like the object-graph path (ycb_evaluator.cpp:210 parallel loop +
+        evaluate_ycb_dataset.cpp:46-117 configuration)."""
+        import jax.numpy as jnp
+
+        from m3t_tpu import pipeline
+
+        pcfg = self._fused_pipeline_config()
+        n_lines = pcfg.cfg.n_lines_max
+        entries = [(seq, body_name) for seq in self.sequence_ids
+                   for body_name in self.sequence2body_names[seq]]
+        b = len(entries)
+
+        bodies = {}
+        models = {}
+        for _, body_name in entries:
+            if body_name not in bodies:
+                bodies[body_name] = self._make_body(body_name)
+                models[body_name] = self._make_models(bodies[body_name])
+
+        sequence_dirs = {
+            seq: os.path.join(self.dataset_directory, "data", f"{seq:04d}")
+            for seq in self.sequence_ids}
+        color_cams = {}
+        depth_cams = {}
+        for seq in self.sequence_ids:
+            cam = LoaderColorCamera(
+                f"color_camera_{seq}", load_directory=sequence_dirs[seq],
+                intrinsics=self.intrinsics, image_name_pre="", load_index=1,
+                n_leading_zeros=6, image_name_post="-color",
+                load_image_type="png")
+            if not cam.SetUp():
+                raise RuntimeError(f"color camera for sequence {seq} failed")
+            color_cams[seq] = cam
+            if self.use_depth_modality:
+                dcam = LoaderDepthCamera(
+                    f"depth_camera_{seq}", load_directory=sequence_dirs[seq],
+                    intrinsics=self.intrinsics, depth_scale=self.depth_scale,
+                    image_name_pre="", load_index=1, n_leading_zeros=6,
+                    image_name_post="-depth", load_image_type="png")
+                if not dcam.SetUp():
+                    raise RuntimeError(f"depth camera for sequence {seq} failed")
+                depth_cams[seq] = dcam
+
+        region_arrays = pipeline.RegionModelArrays.from_models(
+            [models[bn][0] for _, bn in entries], n_lines)
+        depth_arrays = None
+        if self.use_depth_modality:
+            depth_arrays = pipeline.DepthModelArrays.from_models(
+                [models[bn][1] for _, bn in entries],
+                pcfg.depth_cfg.n_points_max)
+        intr = (np.float32(self.intrinsics.fu), np.float32(self.intrinsics.fv),
+                np.float32(self.intrinsics.ppu), np.float32(self.intrinsics.ppv))
+
+        gt_poses = {e: self._load_poses("gt", *e) for e in entries}
+        det_poses = {e: self._load_poses(self.detector_folder, *e)
+                     for e in entries}
+        init_poses = np.stack([
+            det_poses[e][0][0] if len(det_poses[e][0]) else np.eye(4, np.float32)
+            for e in entries]).astype(np.float32)
+
+        texture_modalities = None
+        if self.use_texture_modality:
+            texture_modalities = []
+            for seq, body_name in entries:
+                texture_modalities.append(self._make_texture_modality(
+                    f"{seq:04d}_{body_name}", bodies[body_name],
+                    color_cams[seq]))
+
+        vertices = {}
+        kdtrees = {}
+        for body_name, body in bodies.items():
+            v = metrics.reduce_vertices(
+                body.vertices @ body.geometry2body_pose[:3, :3].T
+                + body.geometry2body_pose[:3, 3])
+            vertices[body_name] = v
+            kdtrees[body_name] = cKDTree(v)
+
+        results = {e: {"add_aucs": [], "adds_aucs": [],
+                       "add_curve": np.zeros(N_CURVE_VALUES),
+                       "adds_curve": np.zeros(N_CURVE_VALUES),
+                       "cycle_times": []} for e in entries}
+        keyframe_idx = {seq: 0 for seq in self.sequence_ids}
+        active = {seq: True for seq in self.sequence_ids}
+        started = False
+        state = None
+        frame = 0
+
+        def batch_images():
+            color = np.stack([np.asarray(color_cams[seq].image)
+                              for seq, _ in entries])
+            depth = None
+            if self.use_depth_modality:
+                depth = np.stack([np.asarray(depth_cams[seq].image)
+                                  for seq, _ in entries])
+            return jnp.asarray(color), (jnp.asarray(depth)
+                                        if depth is not None else None)
+
+        def texture_points(poses_est):
+            if texture_modalities is None:
+                return None
+            for (seq, body_name), m, pose in zip(entries, texture_modalities,
+                                                 poses_est):
+                bodies[body_name].set_body2world_pose(np.asarray(pose))
+                m.CalculateCorrespondences(frame, 0)
+            k_max = max(128, max(len(m.data_points_3d)
+                                 for m in texture_modalities))
+            return pipeline.texture_points_from_modalities(texture_modalities,
+                                                           k_max)
+
+        while any(active.values()) and any(
+                keyframe_idx[s] < len(self.keyframes.get(s) or [])
+                for s in self.sequence_ids if active[s]):
+            for seq in self.sequence_ids:
+                if not active[seq]:
+                    continue
+                ok = color_cams[seq].UpdateImage()
+                if self.use_depth_modality:
+                    ok = depth_cams[seq].UpdateImage() and ok
+                if not ok:
+                    active[seq] = False
+            if not any(active.values()):
+                break
+            images, depth_images = batch_images()
+            if not started:
+                state = pipeline.initialize_histograms(
+                    pcfg, intr, images, region_arrays, jnp.asarray(init_poses))
+                if texture_modalities is not None:
+                    for (seq, body_name), m, pose in zip(
+                            entries, texture_modalities, init_poses):
+                        bodies[body_name].set_body2world_pose(pose)
+                        m.StartModality(frame, 0)
+                started = True
+            begin = time.perf_counter()
+            tex = texture_points(np.asarray(state.body2camera_pose))
+            if self.use_depth_modality:
+                state = pipeline.tracking_cycle_rgbd(
+                    pcfg, intr, intr, jnp.float32(self.depth_scale), images,
+                    depth_images, region_arrays, depth_arrays, state,
+                    texture_points=tex)
+            else:
+                state = pipeline.tracking_cycle(pcfg, intr, images,
+                                                region_arrays, state,
+                                                texture_points=tex)
+            poses_est = np.asarray(state.body2camera_pose)
+            elapsed = time.perf_counter() - begin
+
+            for seq in self.sequence_ids:
+                if not active[seq]:
+                    continue
+                kf = self.keyframes.get(seq) or []
+                kidx = keyframe_idx[seq]
+                current_frame_number = color_cams[seq].load_index - 1
+                if kidx >= len(kf) or current_frame_number != kf[kidx]:
+                    continue
+                for r, (eseq, body_name) in enumerate(entries):
+                    if eseq != seq:
+                        continue
+                    poses_g, valid = gt_poses[(seq, body_name)]
+                    if kidx >= len(poses_g) or not valid[kidx]:
+                        continue
+                    pose_gt = poses_g[kidx]
+                    add = metrics.add_error(vertices[body_name], poses_est[r],
+                                            pose_gt)
+                    adds = metrics.adds_error(vertices[body_name], poses_est[r],
+                                              pose_gt, kdtrees[body_name])
+                    res = results[(seq, body_name)]
+                    res["add_aucs"].append(
+                        metrics.auc_from_error(add, THRESHOLD_MAX))
+                    res["adds_aucs"].append(
+                        metrics.auc_from_error(adds, THRESHOLD_MAX))
+                    res["add_curve"] += metrics.error_curve(
+                        add, THRESHOLD_MAX, N_CURVE_VALUES)
+                    res["adds_curve"] += metrics.error_curve(
+                        adds, THRESHOLD_MAX, N_CURVE_VALUES)
+                    res["cycle_times"].append(elapsed / b)
+                keyframe_idx[seq] += 1
+            frame += 1
+
+        all_results = {seq: {} for seq in self.sequence_ids}
+        for (seq, body_name), r in results.items():
+            n = max(len(r["add_aucs"]), 1)
+            all_results[seq][body_name] = {
+                "add_auc": float(np.mean(r["add_aucs"])) if r["add_aucs"] else 0.0,
+                "adds_auc": float(np.mean(r["adds_aucs"]))
+                if r["adds_aucs"] else 0.0,
+                "add_curve": (r["add_curve"] / n).tolist(),
+                "adds_curve": (r["adds_curve"] / n).tolist(),
+                "mean_cycle_time_s": float(np.mean(r["cycle_times"]))
+                if r["cycle_times"] else 0.0,
+                "n_keyframes": len(r["add_aucs"]),
+            }
+            print(f"seq {seq} {body_name} (fused): "
+                  f"ADD AUC = {all_results[seq][body_name]['add_auc']:.4f}, "
+                  f"ADD-S AUC = {all_results[seq][body_name]['adds_auc']:.4f}")
+        flat = [r for seq in all_results.values() for r in seq.values()]
+        self.results = {
+            "per_sequence": all_results,
+            "add_auc": float(np.mean([r["add_auc"] for r in flat])) if flat else 0.0,
+            "adds_auc": float(np.mean([r["adds_auc"] for r in flat]))
+            if flat else 0.0,
+        }
+        print(f"YCB average (fused): ADD AUC = {self.results['add_auc']:.4f}, "
               f"ADD-S AUC = {self.results['adds_auc']:.4f}")
         return self.results
 

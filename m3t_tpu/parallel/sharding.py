@@ -74,3 +74,47 @@ def track_sequences_scan(pcfg, intr, frames, model, state, mesh: Mesh | None = N
         with mesh:
             return _scan_frames(pcfg, intr, frames, model, state)
     return _scan_frames(pcfg, intr, frames, model, state)
+
+
+@functools.partial(jax.jit, static_argnames=("pcfg",), donate_argnums=(8,))
+def _scan_frames_rgbd(pcfg, intr, depth_intr, depth_scale, frames, depth_frames,
+                      model, depth_model, state):
+    from m3t_tpu import pipeline
+
+    def step(state, xs):
+        images_t, depth_t = xs
+        new_state = pipeline.tracking_cycle_rgbd(
+            pcfg, intr, depth_intr, depth_scale, images_t, depth_t, model,
+            depth_model, state)
+        return new_state, new_state.body2camera_pose
+
+    final_state, poses = jax.lax.scan(step, state, (frames, depth_frames))
+    return final_state, poses
+
+
+def track_sequences_scan_rgbd(pcfg, intr, depth_intr, depth_scale, frames,
+                              depth_frames, model, depth_model, state,
+                              mesh: Mesh | None = None):
+    """RGB-D variant of :func:`track_sequences_scan` (the YCB-Video / ICG class).
+
+    frames: (T, B, H, W, 3) uint8 color, depth_frames: (T, B, Hd, Wd) uint16 —
+    one lax.scan over frames through :func:`pipeline.tracking_cycle_rgbd`
+    (region + depth fusion with the Pallas window presampling), sequences sharded
+    across the mesh "data" axis when a mesh is given.  The on-device analogue of
+    the reference's ``#pragma omp parallel for`` over YCB sequences
+    (ycb_evaluator.cpp:210).
+
+    Returns (final TrackingState, per-frame poses (T, B, 4, 4)).
+    """
+    if mesh is not None:
+        batch_sharding = NamedSharding(mesh, P(None, "data"))
+        frames = jax.device_put(frames, batch_sharding)
+        depth_frames = jax.device_put(depth_frames, batch_sharding)
+        model = shard_over(model, mesh, "data")
+        depth_model = shard_over(depth_model, mesh, "data")
+        state = shard_over(state, mesh, "data")
+        with mesh:
+            return _scan_frames_rgbd(pcfg, intr, depth_intr, depth_scale, frames,
+                                     depth_frames, model, depth_model, state)
+    return _scan_frames_rgbd(pcfg, intr, depth_intr, depth_scale, frames,
+                             depth_frames, model, depth_model, state)

@@ -196,19 +196,12 @@ def test_rbot_evaluator_fused_pipeline_path(tmp_path):
     assert run["mean_cycle_time_s"] > 0.0
 
 
-@pytest.mark.slow
-def test_ycb_evaluator_on_synthetic_mini_dataset(tmp_path):
-    """Build a synthetic dataset in YCB-Video layout and run the real YCB
-    evaluator end-to-end (region + depth, ADD/ADD-S AUC on keyframes)."""
+def _build_mini_ycb(tmp_path, n_frames=5, depth_scale=0.0001):
+    """Synthetic dataset in YCB-Video layout (sequence 0001, body "ball")."""
     from scipy.spatial.transform import Rotation
-
-    from m3t_tpu.eval.ycb_evaluator import YCBEvaluator
-    from m3t_tpu.ops.raster import rasterize_np
 
     body = fixtures.sphere_body("mini_ball", radius=0.06, n_subdiv=2)
     intr = fixtures.test_intrinsics(160, 120)
-    n_frames = 5
-    depth_scale = 0.0001
 
     seq_dir = tmp_path / "data" / "0001"
     model_dir = tmp_path / "models" / "ball"
@@ -255,6 +248,18 @@ def test_ycb_evaluator_on_synthetic_mini_dataset(tmp_path):
     init[0, 3] += 0.004
     write_poses(tmp_path / "external" / "poses" / "cosypose" / "0001_ball.txt",
                 [init] * n_frames)
+    return intr
+
+
+@pytest.mark.slow
+def test_ycb_evaluator_on_synthetic_mini_dataset(tmp_path):
+    """Build a synthetic dataset in YCB-Video layout and run the real YCB
+    evaluator end-to-end (region + depth, ADD/ADD-S AUC on keyframes)."""
+    from m3t_tpu.eval.ycb_evaluator import YCBEvaluator
+
+    n_frames = 5
+    depth_scale = 0.0001
+    intr = _build_mini_ycb(tmp_path, n_frames, depth_scale)
 
     evaluator = YCBEvaluator("ycb_eval", str(tmp_path), str(tmp_path / "external"),
                              sequence_ids=[1], sequence2body_names={1: ["ball"]})
@@ -291,3 +296,48 @@ def test_ycb_evaluator_on_synthetic_mini_dataset(tmp_path):
     assert run["n_keyframes"] == n_frames
     assert run["add_auc"] > 0.9, results
     assert run["adds_auc"] >= run["add_auc"] - 1e-6
+
+
+@pytest.mark.slow
+def test_ycb_evaluator_fused_pipeline_path(tmp_path):
+    """The fused RGB-D evaluator mode (tracking_cycle_rgbd batch) reaches the
+    host object-graph path's accuracy on the mini dataset — the YCB-Video
+    configuration on the TPU throughput path (ycb_evaluator.cpp:210)."""
+    from m3t_tpu import pipeline
+    from m3t_tpu.eval.ycb_evaluator import YCBEvaluator
+    from m3t_tpu.ops.depth_fn import DepthConfig
+    from m3t_tpu.ops.region_fn import RegionConfig
+
+    n_frames = 5
+    depth_scale = 0.0001
+    intr = _build_mini_ycb(tmp_path, n_frames, depth_scale)
+
+    evaluator = YCBEvaluator("ycb_fused", str(tmp_path),
+                             str(tmp_path / "external"),
+                             sequence_ids=[1], sequence2body_names={1: ["ball"]})
+    evaluator.intrinsics = intr
+    evaluator.depth_scale = depth_scale
+
+    def region_model_setter(m):
+        m.n_divides = 1
+        m.n_points = 100
+        m.image_size = 400
+
+    evaluator.region_model_setter = region_model_setter
+    evaluator.depth_model_setter = region_model_setter
+    evaluator.use_fused_pipeline = True
+    evaluator.pipeline_config = pipeline.PipelineConfig(
+        cfg=RegionConfig(n_lines_max=100), scales=(2, 1),
+        standard_deviations=(5.0, 1.5), n_corr_iterations=5,
+        n_update_iterations=2,
+        depth_cfg=DepthConfig(n_points_max=100),
+        considered_distances=(0.03, 0.02),
+        depth_standard_deviations=(0.05, 0.03),
+        region_measure_occlusions=True, depth_measure_occlusions=True)
+
+    results = evaluator.Evaluate()
+    run = results["per_sequence"][1]["ball"]
+    assert run["n_keyframes"] == n_frames
+    assert run["add_auc"] > 0.9, results
+    assert run["adds_auc"] >= run["add_auc"] - 1e-6
+    assert run["mean_cycle_time_s"] > 0.0
