@@ -11,9 +11,14 @@ fetched by the SAME Pallas staircase kernel — each (point, window-row) pair be
 (``DIR = stride``) along u at a fixed row (``STEP = 0``).
 
 Numerics are identical to ops/depth_fn.calculate_correspondences whenever the search
-window lies inside the crop; samples outside the crop are masked invalid (the crop is
-body-centered, so this only matters for windows larger than ``crop_size`` — images
-smaller than the crop are zero-padded by the pipeline, making the paths exact on them).
+window lies inside the crop; samples outside the crop are masked invalid.  The crop is
+centered on the projected BODY ORIGIN, so a point's window survives only if its
+projection plus the window radius fits within ``crop_size/2`` pixels of that center —
+points of large or close bodies projecting outside the crop silently lose their search
+window (the same crop-coverage caveat as the region path's line validity).  Choose
+``crop_size`` larger than the maximum projected body extent plus the largest window
+diameter; images smaller than the crop are zero-padded by the pipeline, making the
+paths exact on them.
 """
 
 from __future__ import annotations
@@ -128,7 +133,7 @@ def depth_crops(depth_images, poses, fu, fv, ppu, ppv, crop_size: int):
 
 def presample_windows(cfg: DepthConfig, considered_distance: float, centers_b, poses,
                       cropT, corner_u, corner_v, crop_size: int,
-                      fu, fv, ppu, ppv, width: int, height: int):
+                      fu, fv, ppu, ppv):
     """Fetch the strided correspondence-search windows for a batch of bodies.
 
     centers_b: (B, P, 3) model-point centers (body frame) of the selected views.

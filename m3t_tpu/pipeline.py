@@ -466,8 +466,7 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
             dview = jax.vmap(lambda m, p: _select_depth_view(m, p))(depth_model, pose)
             dpre = depth_fast.presample_windows(
                 pcfg.depth_cfg, cd, dview.center_f_body, pose, dcropT,
-                dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv,
-                depth_images.shape[2], depth_images.shape[1])
+                dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv)
             depth_points = jax.vmap(
                 lambda dimg, dpv, p, dmo, dsc, pre: depth_fn.calculate_correspondences(
                     pcfg.depth_cfg, cd, dpv,
@@ -599,7 +598,8 @@ class MultiCameraState(NamedTuple):
 
 
 def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
-                       with_depth: bool = False, with_scene: bool = False):
+                       with_depth: bool = False, with_scene: bool = False,
+                       with_texture: bool = False):
     """Build a pjit-ted multi-camera tracking cycle over a (data, camera) mesh.
 
     Bodies are sharded across the ``data`` axis; each body is observed by ``camera``-axis
@@ -622,7 +622,10 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
       with_depth adds (depth_images (B, C, Hd, Wd) u16, depth_scale scalar,
       depth_model DepthModelArrays sharded ("data",)); with_scene adds
       (scene_geom SceneGeometry sharded ("data",), occluder_poses (B, NO-1, 4, 4)
-      in the REFERENCE camera frame, sharded ("data",)).
+      in the REFERENCE camera frame, sharded ("data",)); with_texture adds
+      (texture_points TexturePoints with leading (B, C) axes sharded
+      ("data", "camera") — host feature matches per body and camera,
+      pipeline.texture_points_from_modalities).
     """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
@@ -636,11 +639,15 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
         extra = list(extra)
         depth_images = depth_scale = depth_model = None
         scene_geom = occluder_poses = None
+        texture_points = None
         if with_depth:
             depth_images, depth_scale, depth_model = extra[:3]
             extra = extra[3:]
         if with_scene:
             scene_geom, occluder_poses = extra[:2]
+            extra = extra[2:]
+        if with_texture:
+            texture_points = extra[0]
         b, c = images.shape[0], images.shape[1]
         height, width = images.shape[2], images.shape[3]
         n_lines = jnp.int32(cfg.n_lines_max)
@@ -679,6 +686,13 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
         bin_crop, bin_cropT, corner_u, corner_v = _prepare_crops(
             pcfg, intr, images_f, pose_cam)
         rtab = region_fast.ratio_table(hist_f_l, hist_b_l)
+        if with_depth and depth_images_f is not None:
+            dfu, dfv, dppu, dppv = depth_intr
+            dcropT, dcorner_u, dcorner_v = depth_fast.depth_crops(
+                depth_images_f, pose_cam, dfu, dfv, dppu, dppv, pcfg.crop_size)
+        if texture_points is not None:
+            texture_points_f = jax.tree_util.tree_map(
+                lambda a: a.reshape((b * c,) + a.shape[2:]), texture_points)
 
         for corr_iteration in range(pcfg.n_corr_iterations):
             scale, std = pcfg.iteration_scale(corr_iteration)
@@ -707,18 +721,29 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
                                   handle_occlusions=handle_occlusions)
             if with_depth and depth_images_f is not None:
                 cd, depth_std = pcfg.iteration_depth(corr_iteration)
-                dfu, dfv, dppu, dppv = depth_intr
                 d_modeled, d_sil = _scene_depth_inputs(pcfg, rend, scene_geom_f)
+                # Pallas crop-window presampling, like the single-chip path
+                # (ops/depth_fast.py).
+                dview = jax.vmap(lambda m, p: _select_depth_view(m, p))(
+                    depth_model_f, pose_cam)
+                dpre = depth_fast.presample_windows(
+                    pcfg.depth_cfg, cd, dview.center_f_body, pose_cam, dcropT,
+                    dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv)
                 depth_points = jax.vmap(
-                    lambda dimg, dmdl, p, dmo, dsc:
+                    lambda dimg, dpv, p, dmo, dsc, pre:
                     depth_fn.calculate_correspondences(
-                        pcfg.depth_cfg, cd, _select_depth_view(dmdl, p),
+                        pcfg.depth_cfg, cd, dpv,
                         jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
                         dfu, dfv, dppu, dppv, depth_images_f.shape[2],
                         depth_images_f.shape[1], depth_scale, handle_occlusions,
                         measure_occlusions=pcfg.depth_measure_occlusions,
-                        modeled_occlusion=dmo, silhouette_check=dsc)
-                )(depth_images_f, depth_model_f, pose_cam, d_modeled, d_sil)
+                        modeled_occlusion=dmo, silhouette_check=dsc,
+                        presampled=pre)
+                )(depth_images_f, dview, pose_cam, d_modeled, d_sil, dpre)
+            if pcfg.use_texture and texture_points is not None:
+                tex_std = pcfg.texture_standard_deviations[
+                    min(corr_iteration,
+                        len(pcfg.texture_standard_deviations) - 1)]
             for update_iteration in range(pcfg.n_update_iterations):
                 pose_cam = cam_poses(pose)
                 g_c, h_c = jax.vmap(
@@ -733,6 +758,14 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
                     )(depth_points, pose_cam)
                     g_c = g_c + dg
                     h_c = h_c + dh
+                if pcfg.use_texture and texture_points is not None:
+                    tg, th = jax.vmap(
+                        lambda tp, p: texture_fn.calculate_gradient_and_hessian(
+                            tp, p, fu, fv, ppu, ppv, tex_std,
+                            pcfg.tukey_norm_constant)
+                    )(texture_points_f, pose_cam)
+                    g_c = g_c + tg
+                    h_c = h_c + th
                 # Gradient/Hessian live in the BODY frame (modality.h:135-136), so
                 # contributions from different cameras sum directly.
                 g = jnp.sum(g_c.reshape(b, c, 6), axis=1)
@@ -768,6 +801,8 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
         scene_spec = occlusion_ops.SceneGeometry(
             *([spec_b] * len(occlusion_ops.SceneGeometry._fields)))
         in_specs += [scene_spec, spec_b]
+    if with_texture:
+        in_specs += [TexturePoints(*([spec_bc] * len(TexturePoints._fields)))]
 
     sharded = shard_map(
         per_shard, mesh=mesh,
@@ -805,6 +840,180 @@ def initialize_multicamera_histograms(pcfg: PipelineConfig, intr, images, cam2re
                             st.histogram_b.reshape(b, c, n))
 
 
+class KinematicMultiCameraState(NamedTuple):
+    """State for the sharded multi-camera kinematic cycle.
+
+    DOF poses live in the REFERENCE camera frame (replicated over the camera
+    axis); histograms are per (structure, link, camera) like the reference's
+    per-modality ColorHistograms (region_modality.h:79-83).
+    """
+
+    joint2parent: jnp.ndarray  # (S, NL, 4, 4)
+    histogram_f: jnp.ndarray   # (S, NL, C, n_bins^3)
+    histogram_b: jnp.ndarray   # (S, NL, C, n_bins^3)
+
+
+def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
+                                 depth_intr=None, with_depth: bool = False):
+    """Multi-camera articulated tracking over a (data, camera) mesh.
+
+    The full M3T flagship configuration: kinematic structures sharded across the
+    ``data`` axis, every structure observed by ``camera``-axis many cameras whose
+    per-link gradient/Hessian contributions (body frame, so they sum directly)
+    are psum-reduced over ICI before the batched adjoint-chain KKT solve
+    (ops/kinematics.py update_structures) — one Link summing modalities from
+    several cameras, link.cpp:184-193, scaled out.  ``with_depth`` adds per-link
+    ICG depth fusion with the Pallas window presampling.
+
+    Inputs of the returned function:
+      images: (S, C, H, W, 3) uint8, sharded ("data", "camera")
+      cam2ref_poses: (C, 4, 4), sharded ("camera",)
+      model: RegionModelArrays with B == S * NL link-major bodies, sharded
+             ("data",) — the data-axis size must divide S so shard boundaries
+             align with whole structures
+      kin: KinematicModel sharded ("data",)
+      state: KinematicMultiCameraState (joint2parent sharded ("data",),
+             histograms sharded ("data", None, "camera"))
+      with_depth adds (depth_images (S, C, Hd, Wd) u16, depth_scale scalar,
+      depth_model DepthModelArrays sharded ("data",)).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    cfg = pcfg.cfg
+    fu, fv, ppu, ppv = intr
+
+    def per_shard(images, cam2ref, model, kin, jp, hist_f, hist_b, *extra):
+        depth_images = depth_scale = depth_model = None
+        if with_depth:
+            depth_images, depth_scale, depth_model = extra[:3]
+        s, c = images.shape[0], images.shape[1]
+        nl = kin.parent.shape[1]
+        height, width = images.shape[2], images.shape[3]
+        n_lines = jnp.int32(cfg.n_lines_max)
+        ref2cam = jnp.linalg.inv(cam2ref)
+        handle_occlusions = jnp.asarray(True)
+        n = s * nl * c
+
+        # images per (structure, link, camera) -> flat (s*nl*c, H, W, 3)
+        images_f = jnp.repeat(images, nl, axis=0).reshape((n,) + images.shape[2:])
+        hist_f_l = hist_f.reshape(n, -1)
+        hist_b_l = hist_b.reshape(n, -1)
+        model_f = jax.tree_util.tree_map(lambda a: jnp.repeat(a, c, axis=0), model)
+        if with_depth:
+            depth_images_f = jnp.repeat(depth_images, nl, axis=0).reshape(
+                (n,) + depth_images.shape[2:])
+            depth_model_f = jax.tree_util.tree_map(
+                lambda a: jnp.repeat(a, c, axis=0), depth_model)
+
+        def cam_poses(jp):
+            b2c_ref = jax.vmap(kin_ops.forward_kinematics)(kin, jp)  # (s, nl, 4, 4)
+            pose = jnp.einsum("cij,sljk->slcik", ref2cam, b2c_ref)
+            return pose.reshape(n, 4, 4)
+
+        pose_cam = cam_poses(jp)
+        bin_crop, bin_cropT, corner_u, corner_v = _prepare_crops(
+            pcfg, intr, images_f, pose_cam)
+        rtab = region_fast.ratio_table(hist_f_l, hist_b_l)
+        if with_depth:
+            dfu, dfv, dppu, dppv = depth_intr
+            dcropT, dcorner_u, dcorner_v = depth_fast.depth_crops(
+                depth_images_f, pose_cam, dfu, dfv, dppu, dppv, pcfg.crop_size)
+
+        for corr_iteration in range(pcfg.n_corr_iterations):
+            scale, std = pcfg.iteration_scale(corr_iteration)
+            pose_cam = cam_poses(jp)
+            points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model_f, pose_cam)
+            lines = _region_terms(pcfg, intr, scale, points, pose_cam, n_lines,
+                                  bin_crop, bin_cropT, rtab, corner_u, corner_v,
+                                  width, height,
+                                  handle_occlusions=handle_occlusions)
+            if with_depth:
+                cd, depth_std = pcfg.iteration_depth(corr_iteration)
+                dview = jax.vmap(lambda m, p: _select_depth_view(m, p))(
+                    depth_model_f, pose_cam)
+                dpre = depth_fast.presample_windows(
+                    pcfg.depth_cfg, cd, dview.center_f_body, pose_cam, dcropT,
+                    dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv)
+                depth_points = jax.vmap(
+                    lambda dimg, dpv, p, pre: depth_fn.calculate_correspondences(
+                        pcfg.depth_cfg, cd, dpv,
+                        jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
+                        dfu, dfv, dppu, dppv, depth_images_f.shape[2],
+                        depth_images_f.shape[1], depth_scale, handle_occlusions,
+                        measure_occlusions=pcfg.depth_measure_occlusions,
+                        presampled=pre)
+                )(depth_images_f, dview, pose_cam, dpre)
+            for update_iteration in range(pcfg.n_update_iterations):
+                pose_cam = cam_poses(jp)
+                g_c, h_c = jax.vmap(
+                    lambda ln, p: region_fast.gradient_hessian_cl(
+                        cfg, ln, p, fu, fv, ppu, ppv, std,
+                        update_iteration < cfg.n_global_iterations)
+                )(lines, pose_cam)
+                if with_depth:
+                    dg, dh = jax.vmap(
+                        lambda dp, p: depth_fn.calculate_gradient_and_hessian(
+                            dp, p, depth_std)
+                    )(depth_points, pose_cam)
+                    g_c = g_c + dg
+                    h_c = h_c + dh
+                # Body-frame terms sum over local cameras, then over the camera
+                # mesh axis (modality.h:135-136).
+                g = jnp.sum(g_c.reshape(s, nl, c, 6), axis=2)
+                h = jnp.sum(h_c.reshape(s, nl, c, 6, 6), axis=2)
+                g = jax.lax.psum(g, axis_name="camera")
+                h = jax.lax.psum(h, axis_name="camera")
+                jp = kin_ops.update_structures(
+                    kin, jp, g, h, pcfg.tikhonov_rotation,
+                    pcfg.tikhonov_translation)
+
+        pose_cam = cam_poses(jp)
+        points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model_f, pose_cam)
+        mem_f, mem_b = _histogram_memories(pcfg, intr, points, pose_cam, n_lines,
+                                           bin_crop, bin_cropT, rtab,
+                                           corner_u, corner_v, width, height)
+        hist_f_l = jax.vmap(lambda h_, m_: hist_ops.calculate_histogram(
+            h_, m_, pcfg.learning_rate_f))(hist_f_l, mem_f)
+        hist_b_l = jax.vmap(lambda h_, m_: hist_ops.calculate_histogram(
+            h_, m_, pcfg.learning_rate_b))(hist_b_l, mem_b)
+        unflat = lambda x: x.reshape((s, nl, c) + x.shape[1:])
+        return jp, unflat(hist_f_l), unflat(hist_b_l)
+
+    spec_sc = P("data", "camera")
+    spec_s = P("data")
+    spec_c = P("camera")
+    spec_r = P()
+    spec_slc = P("data", None, "camera")
+    model_spec = RegionModelArrays(*([spec_s] * len(RegionModelArrays._fields)))
+    kin_spec = kin_ops.KinematicModel(
+        *([spec_s] * len(kin_ops.KinematicModel._fields)))
+
+    in_specs = [spec_sc, spec_c, model_spec, kin_spec, spec_s, spec_slc, spec_slc]
+    if with_depth:
+        depth_model_spec = DepthModelArrays(
+            *([spec_s] * len(DepthModelArrays._fields)))
+        in_specs += [spec_sc, spec_r, depth_model_spec]
+
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(spec_s, spec_slc, spec_slc),
+        # pallas_call outputs carry no varying-manual-axes metadata yet.
+        check_vma=False,
+    )
+
+    @jax.jit
+    def cycle(images, cam2ref_poses, model, kin,
+              state: KinematicMultiCameraState, *extra) -> KinematicMultiCameraState:
+        jp, hf, hb = sharded(images, cam2ref_poses, model, kin,
+                             state.joint2parent, state.histogram_f,
+                             state.histogram_b, *extra)
+        return KinematicMultiCameraState(jp, hf, hb)
+
+    return cycle
+
+
 # --------------------------------------------------------------------------------------
 # Articulated structures: kinematic trees in the fused pipeline (the M in M3T)
 # --------------------------------------------------------------------------------------
@@ -835,7 +1044,9 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
                              kin: kin_ops.KinematicModel,
                              state: KinematicTrackingState, scene_geom=None,
                              extra_occluder_poses=None,
-                             handle_occlusions=None) -> KinematicTrackingState:
+                             handle_occlusions=None, depth_intr=None,
+                             depth_scale=None, depth_images=None,
+                             depth_model=None) -> KinematicTrackingState:
     """One tracking cycle for S articulated structures of NL links each.
 
     The TPU analogue of Tracker::ExecuteTrackingStep over kinematic structures
@@ -850,6 +1061,10 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
     0..NL-1 are the structure's links (owner == link index) and slots NL.. are
     static occluders posed by extra_occluder_poses (S, NE, 4, 4); enables
     modeled occlusions / region checking between the links themselves.
+    depth_intr/depth_scale/depth_images (S, Hd, Wd) u16/depth_model (B == S * NL)
+    enable per-link ICG depth fusion when ``pcfg.use_depth`` — the Mb-ICG/RTB
+    configuration, each link summing region + depth modality terms into the same
+    KKT solve (link.cpp:184-193, rtb_evaluator.cpp config).
     """
     cfg = pcfg.cfg
     fu, fv, ppu, ppv = intr
@@ -858,6 +1073,7 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
     height, width = planar.shape[2], planar.shape[3]
     n_lines = jnp.int32(cfg.n_lines_max)
     render_scene = pcfg.needs_scene_render and scene_geom is not None
+    use_depth = pcfg.use_depth and depth_images is not None
     if handle_occlusions is None:
         handle_occlusions = jnp.asarray(True)
 
@@ -871,11 +1087,18 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
     bin_crop, bin_cropT, corner_u, corner_v = _prepare_crops(
         pcfg, intr, images_flat, pose_flat)
     rtab = region_fast.ratio_table(hist_f, hist_b)
+    if use_depth:
+        dfu, dfv, dppu, dppv = depth_intr
+        depth_images_flat = jnp.repeat(depth_images, nl, axis=0)
+        dcropT, dcorner_u, dcorner_v = depth_fast.depth_crops(
+            depth_images_flat, pose_flat, dfu, dfv, dppu, dppv, pcfg.crop_size)
 
     def scene_render(b2c):
         # Per-link focused render of the WHOLE structure (+ extra occluders): the
         # links occlude each other, the dominant occlusion source in articulated
-        # scenes (Mb-ICG).  scene_poses: (S*NL, NO, 4, 4).
+        # scenes (Mb-ICG).  scene_poses: (S*NL, NO, 4, 4).  In the default
+        # point-query mode this evaluates triangle coefficients only (no (S, S)
+        # raster), so the per-link duplication costs ~T*50 flops per link.
         scene_poses = jnp.broadcast_to(b2c[:, None], (s, nl, nl, 4, 4))
         if extra_occluder_poses is not None:
             ne = extra_occluder_poses.shape[1]
@@ -890,6 +1113,7 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
         scale, std = pcfg.iteration_scale(corr_iteration)
         b2c, pose_flat = _kinematic_flat_poses(kin, jp)
         region_check = modeled = None
+        rend = None
         if render_scene:
             rend = scene_render(b2c)
             region_check, modeled = _scene_region_inputs(pcfg, rend, scene_geom)
@@ -899,6 +1123,24 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
                               width, height, region_check=region_check,
                               modeled_occlusion=modeled,
                               handle_occlusions=handle_occlusions)
+        if use_depth:
+            cd, depth_std = pcfg.iteration_depth(corr_iteration)
+            d_modeled, d_sil = _scene_depth_inputs(pcfg, rend, scene_geom)
+            dview = jax.vmap(lambda m, p: _select_depth_view(m, p))(
+                depth_model, pose_flat)
+            dpre = depth_fast.presample_windows(
+                pcfg.depth_cfg, cd, dview.center_f_body, pose_flat, dcropT,
+                dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv)
+            depth_points = jax.vmap(
+                lambda dimg, dpv, p, dmo, dsc, pre:
+                depth_fn.calculate_correspondences(
+                    pcfg.depth_cfg, cd, dpv,
+                    jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
+                    dfu, dfv, dppu, dppv, depth_images_flat.shape[2],
+                    depth_images_flat.shape[1], depth_scale, handle_occlusions,
+                    measure_occlusions=pcfg.depth_measure_occlusions,
+                    modeled_occlusion=dmo, silhouette_check=dsc, presampled=pre)
+            )(depth_images_flat, dview, pose_flat, d_modeled, d_sil, dpre)
         for update_iteration in range(pcfg.n_update_iterations):
             b2c, pose_flat = _kinematic_flat_poses(kin, jp)
             gradient, hessian = jax.vmap(
@@ -906,6 +1148,13 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
                     cfg, ln, p, fu, fv, ppu, ppv, std,
                     update_iteration < cfg.n_global_iterations)
             )(lines, pose_flat)
+            if use_depth:
+                dg, dh = jax.vmap(
+                    lambda dp, p: depth_fn.calculate_gradient_and_hessian(
+                        dp, p, depth_std)
+                )(depth_points, pose_flat)
+                gradient = gradient + dg
+                hessian = hessian + dh
             jp = kin_ops.update_structures(
                 kin, jp, gradient.reshape(s, nl, 6),
                 hessian.reshape(s, nl, 6, 6),

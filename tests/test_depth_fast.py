@@ -34,7 +34,7 @@ def test_presampled_windows_match_direct_gather(use_depth_scaling):
         depth_images, jnp.asarray(poses), fu, fv, ppu, ppv, crop_size)
     d, in_crop = depth_fast.presample_windows(
         cfg, cd, jnp.asarray(centers), jnp.asarray(poses), cropT, cu0, cv0,
-        crop_size, fu, fv, ppu, ppv, W, H)
+        crop_size, fu, fv, ppu, ppv)
 
     for b in range(B):
         pts = depth_fn.DepthViewPoints(

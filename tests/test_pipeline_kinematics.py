@@ -224,3 +224,141 @@ def test_articulated_batch_of_structures(tmp_path):
         err_c = np.linalg.norm(b2c[s_idx, 1][:3, 3] - gt_c[:3, 3])
         assert err_p < 0.006, f"structure {s_idx} parent error {err_p}"
         assert err_c < 0.012, f"structure {s_idx} child error {err_c}"
+
+
+def _render_depth_frame(bodies, poses, intr, depth_scale=0.001):
+    verts, ids = [], []
+    for i, (body, pose) in enumerate(zip(bodies, poses)):
+        tri = body.triangle_vertices_f_body()
+        verts.append(tri @ pose[:3, :3].T + pose[:3, 3])
+        ids.append(np.full(len(tri), i + 1))
+    depth, _ = rasterize_np(
+        np.concatenate(verts), np.concatenate(ids), intr.fu, intr.fv, intr.ppu,
+        intr.ppv, intr.width, intr.height, cull_backfaces=True)
+    d = np.where(np.isfinite(depth), depth / depth_scale, 0.0)
+    return np.clip(d, 0, 65535).astype(np.uint16)
+
+
+@pytest.mark.slow
+def test_articulated_rgbd_fused(tmp_path):
+    """Per-link region + depth fusion in the kinematic cycle (the Mb-ICG/RTB
+    configuration, link.cpp:184-193) matches the host object-graph tracker with
+    Region+Depth modalities on every link."""
+    from m3t_tpu.depth_model import DepthModel
+
+    parent = fixtures.sphere_body("krd_parent", radius=0.05, n_subdiv=2)
+    child = fixtures.sphere_body("krd_child", radius=0.04, n_subdiv=2)
+    intr = fixtures.test_intrinsics(200, 150)
+    depth_scale = 0.001
+    arm = 0.13
+    body2joint_child = np_pose(translation=[arm, 0.0, 0.0])
+
+    def child_pose(root_pose, angle):
+        joint_rot = np_pose_variation(
+            np.array([0, 0, angle, 0, 0, 0], np.float32))
+        return root_pose @ joint_rot @ body2joint_child
+
+    root_gt = np_pose(translation=[-0.05, 0.0, 0.7])
+    angles = [0.0, 0.04, 0.08, 0.12]
+    rng = np.random.default_rng(17)
+    color_frames = []
+    depth_frames = []
+    for a in angles:
+        poses = [root_gt, child_pose(root_gt, a)]
+        color_frames.append(_render_frame([parent, child], poses, intr, rng))
+        depth_frames.append(_render_depth_frame([parent, child], poses, intr,
+                                                depth_scale))
+
+    model_p = RegionModel("krd_rm_p", parent, str(tmp_path / "rp.npz"),
+                          n_divides=1, n_points=100, image_size=200)
+    model_c = RegionModel("krd_rm_c", child, str(tmp_path / "rc.npz"),
+                          n_divides=1, n_points=100, image_size=200)
+    dmodel_p = DepthModel("krd_dm_p", parent, str(tmp_path / "dp.npz"),
+                          n_divides=1, n_points=64, image_size=200)
+    dmodel_c = DepthModel("krd_dm_c", child, str(tmp_path / "dc.npz"),
+                          n_divides=1, n_points=64, image_size=200)
+    assert model_p.SetUp() and model_c.SetUp()
+    assert dmodel_p.SetUp() and dmodel_c.SetUp()
+
+    link_p = Link("krd_lp", parent)
+    link_c = Link("krd_lc", child, body2joint_pose=body2joint_child,
+                  free_directions=[False, False, True, False, False, False])
+    link_p.AddChildLink(link_c)
+    assert link_c.SetUp() and link_p.SetUp()
+    link_p.set_link2world_pose(root_gt)
+    optimizer = Optimizer("krd_struct", link_p)
+    assert optimizer.SetUp()
+
+    kin = kin_ops.build_kinematic_model([optimizer])
+    jp0 = kin_ops.initial_joint2parent([optimizer])
+
+    cfg = RegionConfig(n_lines_max=100)
+    pcfg = pipeline.PipelineConfig(
+        cfg=cfg, scales=(2, 1), standard_deviations=(5.0, 1.5),
+        n_corr_iterations=4, n_update_iterations=2, use_depth=True,
+        considered_distances=(0.03, 0.02),
+        depth_standard_deviations=(0.05, 0.03))
+    pcfg = pcfg._replace(depth_cfg=pcfg.depth_cfg._replace(n_points_max=64))
+    intr_t = (np.float32(intr.fu), np.float32(intr.fv),
+              np.float32(intr.ppu), np.float32(intr.ppv))
+    arrays = pipeline.RegionModelArrays.from_models([model_p, model_c], 100)
+    darrays = pipeline.DepthModelArrays.from_models([dmodel_p, dmodel_c], 64)
+
+    state = pipeline.initialize_kinematic_histograms(
+        pcfg, intr_t, jnp.asarray(color_frames[0])[None], arrays, kin, jp0)
+    for t in range(1, len(angles)):
+        state = pipeline.tracking_cycle_kinematic(
+            pcfg, intr_t, jnp.asarray(color_frames[t])[None], arrays, kin, state,
+            depth_intr=intr_t, depth_scale=jnp.float32(depth_scale),
+            depth_images=jnp.asarray(depth_frames[t])[None],
+            depth_model=darrays)
+
+    b2c = np.asarray(pipeline.kinematic_body_poses(kin, state))[0]
+    final_child_gt = child_pose(root_gt, angles[-1])
+    assert np.linalg.norm(b2c[0][:3, 3] - root_gt[:3, 3]) < 0.005
+    assert np.linalg.norm(b2c[1][:3, 3] - final_child_gt[:3, 3]) < 0.01
+
+    # Host object-graph twin: Region + Depth modality per link (rtb config).
+    from m3t_tpu.camera import ImageColorCamera, ImageDepthCamera
+    from m3t_tpu.depth_modality import DepthModality
+    from m3t_tpu.detector import StaticDetector
+    from m3t_tpu.region_modality import RegionModality
+    from m3t_tpu.tracker import Tracker
+
+    camera = ImageColorCamera("krd_cam", intr, color_frames)
+    dcamera = ImageDepthCamera("krd_dcam", intr, depth_frames,
+                               depth_scale=depth_scale)
+    assert camera.SetUp() and dcamera.SetUp()
+
+    def host_link(name, body, rmodel, dmodel, **kw):
+        link = Link(name, body, **kw)
+        rm = RegionModality(f"{name}_rm", body, camera, rmodel)
+        rm.n_lines_max = 100
+        rm.scales = [2, 1]
+        rm.standard_deviations = [5.0, 1.5]
+        dm = DepthModality(f"{name}_dm", body, dcamera, dmodel)
+        dm.n_points_max = 64
+        dm.considered_distances = [0.03, 0.02]
+        dm.standard_deviations = [0.05, 0.03]
+        link.AddModality(rm)
+        link.AddModality(dm)
+        return link
+
+    h_link_p = host_link("krd_h_lp", parent, model_p, dmodel_p)
+    h_link_c = host_link("krd_h_lc", child, model_c, dmodel_c,
+                         body2joint_pose=body2joint_child,
+                         free_directions=[False, False, True, False, False,
+                                          False])
+    h_link_p.AddChildLink(h_link_c)
+    h_opt = Optimizer("krd_h_struct", h_link_p)
+    detector = StaticDetector("krd_det", h_opt, link2world_pose=root_gt)
+    tracker = Tracker("krd_tracker", n_corr_iterations=4, n_update_iterations=2)
+    tracker.AddOptimizer(h_opt)
+    tracker.AddDetector(detector)
+    assert tracker.SetUp()
+    assert tracker.RunTrackerProcess(execute_detection=True, start_tracking=True,
+                                     max_iterations=len(angles))
+
+    for j, body in enumerate([parent, child]):
+        d = np.linalg.norm(b2c[j][:3, 3] - body.body2world_pose[:3, 3])
+        assert d < 0.004, f"fused-rgbd vs host {body.name}: {d * 1000:.2f} mm"
