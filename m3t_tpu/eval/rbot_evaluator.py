@@ -76,6 +76,7 @@ class RBOTEvaluator:
         # sequences fall back to the object-graph path.
         self.use_fused_pipeline = False
         self.pipeline_config = None  # Optional m3t_tpu.pipeline.PipelineConfig
+        self.n_unoccluded_iterations = 10  # region_modality.h:442
         # Callables to tweak object parameters before SetUp (mirrors *_setter_ hooks).
         self.tracker_setter = lambda tracker: None
         self.region_modality_setter = lambda modality: None
@@ -204,8 +205,8 @@ class RBOTEvaluator:
         for sequence_name, occlusions in zip(self.sequence_names,
                                              self.sequence_occlusions):
             for body_name in self.body_names:
-                if self.use_fused_pipeline and not occlusions:
-                    fused_runs.append((sequence_name, body_name))
+                if self.use_fused_pipeline:
+                    fused_runs.append((sequence_name, body_name, occlusions))
                     continue
                 result = self._evaluate_sequence(sequence_name, body_name,
                                                  occlusions, models)
@@ -278,21 +279,50 @@ class RBOTEvaluator:
         }
 
     def _evaluate_fused(self, runs, models) -> dict:
-        """All runs as one batch through the fused TPU pipeline.
+        """All runs — regular AND occlusion sequences — as one fused batch.
 
         One pipeline.tracking_cycle call per frame covers every (sequence, body)
         run at once; per-frame success, reset-to-GT (pose + histogram re-init),
         and error bookkeeping happen host-side exactly as in _evaluate_sequence.
+        Occlusion sequences add a hidden batch entry tracking the
+        "squirrel_small" body (rbot_evaluator.h:42) on the same frames; when
+        ``model_occlusions`` / ``use_region_checking`` are set, each occlusion
+        entry carries a SceneGeometry [own body, partner body] and the partner's
+        pose (from the previous cycle's estimate — the only divergence from the
+        host path, which re-renders at the in-cycle estimate) feeds the
+        per-iteration modeled-occlusion / region checks
+        (rbot_evaluator.cpp:202-208).  The reference's n_unoccluded_iterations
+        grace period after every (re)start is honored per entry through the
+        per-body handle_occlusions input.
         """
         import jax.numpy as jnp
 
         from m3t_tpu import pipeline
+        from m3t_tpu.ops import occlusion as occlusion_ops
 
+        use_scene = self.model_occlusions or self.use_region_checking
         pcfg = self.pipeline_config or pipeline.PipelineConfig()
+        if use_scene:
+            pcfg = pcfg._replace(
+                region_model_occlusions=self.model_occlusions,
+                region_checking=self.use_region_checking)
         n_lines = pcfg.cfg.n_lines_max
-        b = len(runs)
+        n_unoccluded_iterations = self.n_unoccluded_iterations
+
+        # Batch entries: every run, plus a hidden partner entry per occlusion run.
+        entries = []  # (sequence_name, body_name, gt_key, partner_idx, hidden)
+        for sequence_name, body_name, occlusions in runs:
+            main_idx = len(entries)
+            entries.append([sequence_name, body_name, "first", None, False])
+            if occlusions:
+                partner_idx = len(entries)
+                entries.append([sequence_name, body_name, "second", main_idx,
+                                True])
+                entries[main_idx][3] = partner_idx
+        b = len(entries)
+
         cameras = []
-        for sequence_name, body_name in runs:
+        for sequence_name, body_name, _, _, _ in entries:
             camera = LoaderColorCamera(
                 f"camera_{sequence_name}_{body_name}",
                 load_directory=os.path.join(self.dataset_directory, body_name,
@@ -303,36 +333,93 @@ class RBOTEvaluator:
                 raise RuntimeError(f"Could not set up camera for {sequence_name}")
             cameras.append(camera)
 
+        def entry_body_name(e):
+            return OCCLUSION_BODY_NAME if e[2] == "second" else e[1]
+
+        def entry_gt(e):
+            return (self.poses_gt_second if e[2] == "second"
+                    else self.poses_gt_first)
+
         arrays = pipeline.RegionModelArrays.from_models(
-            [models[body_name] for _, body_name in runs], n_lines)
+            [models[entry_body_name(e)] for e in entries], n_lines)
         intr = (np.float32(self.intrinsics.fu), np.float32(self.intrinsics.fv),
                 np.float32(self.intrinsics.ppu), np.float32(self.intrinsics.ppv))
-        poses_gt = self.poses_gt_first
+
+        scene_geom = None
+        if use_scene:
+            # Scene slot 0 = tracked body, slot 1 = partner (occlusion entries)
+            # or an invalidated padding slot (regular entries).
+            body_cache: dict[str, object] = {}
+
+            def scene_body(name):
+                if name not in body_cache:
+                    body_cache[name] = self._make_body(name)
+                return body_cache[name]
+
+            scenes = []
+            has_partner = []
+            for e in entries:
+                own = scene_body(entry_body_name(e))
+                if e[3] is not None:
+                    partner = scene_body(entry_body_name(entries[e[3]]))
+                    scenes.append([own, partner])
+                    has_partner.append(True)
+                else:
+                    scenes.append([own])
+                    has_partner.append(False)
+            scene_geom = occlusion_ops.build_scene_geometry(scenes)
+            # Regular entries carry no occlusion scene in the host path (no
+            # focused renderers are built for them, _setup_tracker): mask their
+            # triangles/references so body_visible == False and every check
+            # passes through.
+            mask = jnp.asarray(has_partner)
+            scene_geom = scene_geom._replace(
+                tri_valid=scene_geom.tri_valid & mask[:, None],
+                ref_valid=scene_geom.ref_valid & mask[:, None])
 
         def batch_images():
             return jnp.asarray(np.stack([np.asarray(c.image) for c in cameras]))
 
+        def occluder_pose_array(poses_est):
+            if scene_geom is None:
+                return None
+            parked = np.eye(4, dtype=np.float32)
+            parked[2, 3] = -10.0  # MoveBackPoses parking slot (tracker.cpp:394)
+            occ = np.stack([
+                poses_est[e[3]] if e[3] is not None else parked for e in entries])
+            return jnp.asarray(occ[:, None])
+
         # SetUp loaded frame 0 on every camera: StartModalities at GT pose 0.
         images = batch_images()
-        init_poses = jnp.asarray(np.stack([poses_gt[0]] * b))
+        init_poses = jnp.asarray(np.stack([entry_gt(e)[0] for e in entries]))
         state = pipeline.initialize_histograms(pcfg, intr, images, arrays,
                                                init_poses)
+        frames_since_start = np.zeros(b, np.int64)
 
         stats = [{"successes": [], "translation_errors": [], "rotation_errors": [],
-                  "cycle_times": []} for _ in runs]
+                  "cycle_times": []} for _ in entries]
+        n_visible = sum(1 for e in entries if not e[4])
         for i in range(self.n_frames):
             ok = all(c.UpdateImage() for c in cameras)
             if not ok:
                 break
             images = batch_images()
             begin = time.perf_counter()
-            state = pipeline.tracking_cycle(pcfg, intr, images, arrays, state)
+            poses_prev = np.asarray(state.body2camera_pose)
+            handle_occ = jnp.asarray(
+                frames_since_start >= n_unoccluded_iterations)
+            state = pipeline.tracking_cycle(
+                pcfg, intr, images, arrays, state, scene_geom=scene_geom,
+                occluder_poses=occluder_pose_array(poses_prev),
+                handle_occlusions=handle_occ)
             poses_est = np.asarray(state.body2camera_pose)
             elapsed = time.perf_counter() - begin
+            frames_since_start += 1
 
-            pose_gt = poses_gt[i + 1]
             reset_mask = np.zeros(b, bool)
-            for r in range(b):
+            reset_poses = np.zeros((b, 4, 4), np.float32)
+            for r, e in enumerate(entries):
+                pose_gt = entry_gt(e)[i + 1]
                 t_err = metrics.translation_error(poses_est[r], pose_gt)
                 r_err = metrics.rotation_error(poses_est[r], pose_gt)
                 success = (t_err <= self.translation_error_threshold
@@ -340,14 +427,14 @@ class RBOTEvaluator:
                 stats[r]["successes"].append(float(success))
                 stats[r]["translation_errors"].append(t_err)
                 stats[r]["rotation_errors"].append(r_err)
-                stats[r]["cycle_times"].append(elapsed / b)
+                stats[r]["cycle_times"].append(elapsed / n_visible)
                 reset_mask[r] = not success
+                reset_poses[r] = pose_gt
             if reset_mask.any():
                 # Reset failed runs: GT pose + histogram re-initialization on the
                 # current frame (the fused StartModalities analogue).
-                reset_poses = jnp.asarray(np.stack([pose_gt] * b))
                 reset_state = pipeline.initialize_histograms(
-                    pcfg, intr, images, arrays, reset_poses)
+                    pcfg, intr, images, arrays, jnp.asarray(reset_poses))
                 mask = jnp.asarray(reset_mask)
                 state = pipeline.TrackingState(
                     jnp.where(mask[:, None, None], reset_state.body2camera_pose,
@@ -356,9 +443,10 @@ class RBOTEvaluator:
                               state.histogram_f),
                     jnp.where(mask[:, None], reset_state.histogram_b,
                               state.histogram_b))
+                frames_since_start[reset_mask] = 0
 
         return {
-            run: {
+            (e[0], e[1]): {
                 "tracking_success": float(np.mean(s["successes"]))
                 if s["successes"] else 0.0,
                 "mean_translation_error": float(np.mean(s["translation_errors"])),
@@ -366,7 +454,7 @@ class RBOTEvaluator:
                 "mean_cycle_time_s": float(np.mean(s["cycle_times"])),
                 "n_frames": len(s["successes"]),
             }
-            for run, s in zip(runs, stats)
+            for e, s in zip(entries, stats) if not e[4]
         }
 
     def SaveResults(self, path: str) -> None:  # noqa: N802

@@ -284,19 +284,20 @@ def _region_terms(pcfg: PipelineConfig, intr, scale, points, poses, n_lines,
     """One correspondence pass for the whole batch -> lane-major DataLines.
 
     The optional occlusion structures are batched over bodies (leading B axis);
-    ``handle_occlusions`` is a shared traced scalar.
+    ``handle_occlusions`` is a (B,) traced bool (per body, so the reference's
+    per-modality n_unoccluded_iterations counter maps onto batch entries).
     """
     fu, fv, ppu, ppv = intr
     cfg = pcfg.cfg
     kp = region_fast.round_up(cfg.line_length_in_segments * scale, 8)
     geo = jax.vmap(
-        lambda p, pose, cu, cv, rc, mo, mdo: region_fast.line_geometry(
+        lambda p, pose, cu, cv, rc, mo, mdo, ho: region_fast.line_geometry(
             cfg, scale, p, n_lines, pose, fu, fv, ppu, ppv, width, height,
             cu, cv, pcfg.crop_size, pcfg.lp, region_check=rc,
             measured_occlusion=mo, modeled_occlusion=mdo,
-            handle_occlusions=handle_occlusions)
+            handle_occlusions=ho)
     )(points, poses, corner_u, corner_v, region_check, measured_occlusion,
-      modeled_occlusion)
+      modeled_occlusion, handle_occlusions)
     samples = region_fast.sample_lines(geo.params, bin_crop, bin_cropT, rtab, kp)
     lines = jax.vmap(
         lambda g, s: region_fast.lines_from_samples(cfg, scale, g, s)
@@ -414,6 +415,8 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
     render_scene = pcfg.needs_scene_render and scene_geom is not None
     if handle_occlusions is None:
         handle_occlusions = jnp.asarray(True)
+    handle_occlusions = jnp.broadcast_to(jnp.asarray(handle_occlusions),
+                                         (state.body2camera_pose.shape[0],))
 
     pose = state.body2camera_pose
     hist_f, hist_b = state.histogram_f, state.histogram_b
@@ -468,14 +471,16 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
                 pcfg.depth_cfg, cd, dview.center_f_body, pose, dcropT,
                 dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv)
             depth_points = jax.vmap(
-                lambda dimg, dpv, p, dmo, dsc, pre: depth_fn.calculate_correspondences(
+                lambda dimg, dpv, p, dmo, dsc, pre, ho:
+                depth_fn.calculate_correspondences(
                     pcfg.depth_cfg, cd, dpv,
                     jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
                     dfu, dfv, dppu, dppv, depth_images.shape[2],
-                    depth_images.shape[1], depth_scale, handle_occlusions,
+                    depth_images.shape[1], depth_scale, ho,
                     measure_occlusions=pcfg.depth_measure_occlusions,
                     modeled_occlusion=dmo, silhouette_check=dsc, presampled=pre)
-            )(depth_images, dview, pose, d_modeled, d_sil, dpre)
+            )(depth_images, dview, pose, d_modeled, d_sil, dpre,
+              handle_occlusions)
         if pcfg.use_texture and texture_points is not None:
             tex_std = pcfg.texture_standard_deviations[
                 min(corr_iteration, len(pcfg.texture_standard_deviations) - 1)]
@@ -667,7 +672,7 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
             lambda a: jnp.repeat(a, c, axis=0), scene_geom)
             if scene_geom is not None else None)
         render_scene = pcfg.needs_scene_render and scene_geom_f is not None
-        handle_occlusions = jnp.asarray(True)
+        handle_occlusions = jnp.broadcast_to(jnp.asarray(True), (b * c,))
 
         def cam_poses(pose):
             # (b, c, 4, 4) -> flat (b*c, 4, 4): body pose in each camera's frame.
@@ -730,16 +735,17 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
                     pcfg.depth_cfg, cd, dview.center_f_body, pose_cam, dcropT,
                     dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv)
                 depth_points = jax.vmap(
-                    lambda dimg, dpv, p, dmo, dsc, pre:
+                    lambda dimg, dpv, p, dmo, dsc, pre, ho:
                     depth_fn.calculate_correspondences(
                         pcfg.depth_cfg, cd, dpv,
                         jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
                         dfu, dfv, dppu, dppv, depth_images_f.shape[2],
-                        depth_images_f.shape[1], depth_scale, handle_occlusions,
+                        depth_images_f.shape[1], depth_scale, ho,
                         measure_occlusions=pcfg.depth_measure_occlusions,
                         modeled_occlusion=dmo, silhouette_check=dsc,
                         presampled=pre)
-                )(depth_images_f, dview, pose_cam, d_modeled, d_sil, dpre)
+                )(depth_images_f, dview, pose_cam, d_modeled, d_sil, dpre,
+                  handle_occlusions)
             if pcfg.use_texture and texture_points is not None:
                 tex_std = pcfg.texture_standard_deviations[
                     min(corr_iteration,
@@ -892,7 +898,7 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
         height, width = images.shape[2], images.shape[3]
         n_lines = jnp.int32(cfg.n_lines_max)
         ref2cam = jnp.linalg.inv(cam2ref)
-        handle_occlusions = jnp.asarray(True)
+        handle_occlusions = jnp.broadcast_to(jnp.asarray(True), (s * nl * c,))
         n = s * nl * c
 
         # images per (structure, link, camera) -> flat (s*nl*c, H, W, 3)
@@ -936,14 +942,15 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
                     pcfg.depth_cfg, cd, dview.center_f_body, pose_cam, dcropT,
                     dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv)
                 depth_points = jax.vmap(
-                    lambda dimg, dpv, p, pre: depth_fn.calculate_correspondences(
+                    lambda dimg, dpv, p, pre, ho:
+                    depth_fn.calculate_correspondences(
                         pcfg.depth_cfg, cd, dpv,
                         jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
                         dfu, dfv, dppu, dppv, depth_images_f.shape[2],
-                        depth_images_f.shape[1], depth_scale, handle_occlusions,
+                        depth_images_f.shape[1], depth_scale, ho,
                         measure_occlusions=pcfg.depth_measure_occlusions,
                         presampled=pre)
-                )(depth_images_f, dview, pose_cam, dpre)
+                )(depth_images_f, dview, pose_cam, dpre, handle_occlusions)
             for update_iteration in range(pcfg.n_update_iterations):
                 pose_cam = cam_poses(jp)
                 g_c, h_c = jax.vmap(
@@ -1076,6 +1083,8 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
     use_depth = pcfg.use_depth and depth_images is not None
     if handle_occlusions is None:
         handle_occlusions = jnp.asarray(True)
+    handle_occlusions = jnp.broadcast_to(jnp.asarray(handle_occlusions),
+                                         (s * nl,))
 
     jp = state.joint2parent
     n_hist = state.histogram_f.shape[-1]
@@ -1132,15 +1141,16 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
                 pcfg.depth_cfg, cd, dview.center_f_body, pose_flat, dcropT,
                 dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv)
             depth_points = jax.vmap(
-                lambda dimg, dpv, p, dmo, dsc, pre:
+                lambda dimg, dpv, p, dmo, dsc, pre, ho:
                 depth_fn.calculate_correspondences(
                     pcfg.depth_cfg, cd, dpv,
                     jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
                     dfu, dfv, dppu, dppv, depth_images_flat.shape[2],
-                    depth_images_flat.shape[1], depth_scale, handle_occlusions,
+                    depth_images_flat.shape[1], depth_scale, ho,
                     measure_occlusions=pcfg.depth_measure_occlusions,
                     modeled_occlusion=dmo, silhouette_check=dsc, presampled=pre)
-            )(depth_images_flat, dview, pose_flat, d_modeled, d_sil, dpre)
+            )(depth_images_flat, dview, pose_flat, d_modeled, d_sil, dpre,
+              handle_occlusions)
         for update_iteration in range(pcfg.n_update_iterations):
             b2c, pose_flat = _kinematic_flat_poses(kin, jp)
             gradient, hessian = jax.vmap(

@@ -341,3 +341,103 @@ def test_ycb_evaluator_fused_pipeline_path(tmp_path):
     assert run["add_auc"] > 0.9, results
     assert run["adds_auc"] >= run["add_auc"] - 1e-6
     assert run["mean_cycle_time_s"] > 0.0
+
+
+def _build_mini_rbot_occlusion(tmp_path, n_frames=6):
+    """Mini RBOT dataset with a d_occlusion sequence: main ball + squirrel_small
+    partner crossing in front (both with GT pose files)."""
+    from m3t_tpu.ops.raster import rasterize_np
+
+    body = fixtures.sphere_body("ball", radius=0.06, n_subdiv=2)
+    partner = fixtures.sphere_body("squirrel_small", radius=0.04, n_subdiv=2)
+    intr = fixtures.test_intrinsics(160, 120)
+    body_dir = tmp_path / "ball"
+    frames_dir = body_dir / "frames"
+    os.makedirs(frames_dir)
+    os.makedirs(tmp_path / "squirrel_small")
+    save_obj(str(body_dir / "ball.obj"), body.vertices * 1000.0, body.triangles)
+    save_obj(str(tmp_path / "squirrel_small" / "squirrel_small.obj"),
+             partner.vertices * 1000.0, partner.triangles)
+
+    rng = np.random.default_rng(4)
+    poses_first, poses_second = [], []
+    for i in range(n_frames + 1):
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.002 * i
+        pose[2, 3] = 0.6
+        poses_first.append(pose)
+        pose2 = np.eye(4, dtype=np.float32)
+        pose2[0, 3] = -0.08 + 0.003 * i
+        pose2[1, 3] = 0.02
+        pose2[2, 3] = 0.45  # in front of the main body
+        poses_second.append(pose2)
+
+    for name, poses in (("poses_first.txt", poses_first),
+                        ("poses_second.txt", poses_second)):
+        with open(tmp_path / name, "w") as f:
+            f.write("# R11 R12 R13 R21 R22 R23 R31 R32 R33 tx ty tz\n")
+            for pose in poses:
+                row = list(pose[:3, :3].reshape(-1)) + list(pose[:3, 3] * 1000.0)
+                f.write("\t".join(f"{v:.6f}" for v in row) + "\t\n")
+
+    colors = [np.array([40, 120, 190]), np.array([170, 60, 40]),
+              np.array([60, 170, 60])]
+    for i in range(n_frames):
+        verts, ids = [], []
+        for k, (b, pose) in enumerate(((body, poses_first[i]),
+                                       (partner, poses_second[i]))):
+            tri = b.triangle_vertices_f_body()
+            verts.append(tri @ pose[:3, :3].T + pose[:3, 3])
+            ids.append(np.full(len(tri), k + 1))
+        _, id_img = rasterize_np(
+            np.concatenate(verts), np.concatenate(ids), intr.fu, intr.fv,
+            intr.ppu, intr.ppv, intr.width, intr.height, cull_backfaces=True)
+        image = np.empty((intr.height, intr.width, 3), np.uint8)
+        image[:] = colors[0]
+        for k in range(2):
+            image[id_img == k + 1] = colors[k + 1]
+        image = np.clip(image.astype(np.int16)
+                        + rng.integers(-6, 7, image.shape), 0, 255).astype(np.uint8)
+        cv2.imwrite(str(frames_dir / f"d_occlusion{i:04d}.png"), image)
+    return intr, n_frames
+
+
+@pytest.mark.slow
+def test_rbot_evaluator_fused_occlusion_sequences(tmp_path):
+    """Occlusion sequences run through the fused pipeline too (VERDICT round-3
+    item 4): the second squirrel_small body tracks as a hidden batch entry, its
+    pose feeds the modeled-occlusion/region-check SceneGeometry, and the
+    occlusion half of the RBOT protocol reports through the batch."""
+    from m3t_tpu import pipeline
+    from m3t_tpu.eval.rbot_evaluator import RBOTEvaluator
+    from m3t_tpu.ops.region_fn import RegionConfig
+
+    intr, n_frames = _build_mini_rbot_occlusion(tmp_path)
+
+    def model_setter(model):
+        model.n_divides = 1
+        model.n_points = 100
+        model.image_size = 400
+
+    evaluator = RBOTEvaluator("eval_fused_occ", str(tmp_path), str(tmp_path),
+                              body_names=["ball"],
+                              sequence_names=["d_occlusion"],
+                              sequence_occlusions=[True], n_frames=n_frames)
+    evaluator.intrinsics = intr
+    evaluator.region_model_setter = model_setter
+    evaluator.use_fused_pipeline = True
+    evaluator.model_occlusions = True
+    evaluator.use_region_checking = True
+    evaluator.n_unoccluded_iterations = 0  # occluder overlaps from frame 0
+    evaluator.pipeline_config = pipeline.PipelineConfig(
+        cfg=RegionConfig(n_lines_max=100), scales=(2, 1),
+        standard_deviations=(5.0, 1.5), n_corr_iterations=5,
+        n_update_iterations=2, focused_image_size=128)
+
+    results = evaluator.Evaluate()
+    run = results["per_run"][("d_occlusion", "ball")]
+    assert run["n_frames"] == n_frames
+    # The partially-occluded main body must keep tracking through the fused
+    # occlusion-aware path.
+    assert results["tracking_success"] == 1.0, results
+    assert run["mean_translation_error"] < 0.01
