@@ -15,6 +15,7 @@ from m3t_tpu.body import Body
 from m3t_tpu.common import np_pose_inverse
 from m3t_tpu.model_base import Model
 from m3t_tpu.ops.raster import rasterize_np
+from m3t_tpu.utils.mt19937 import StdMT19937
 from m3t_tpu.region_model import KBACKGROUND_ID, KMAIN_BODY_ID, hashlib_digest
 
 
@@ -57,7 +58,7 @@ class DepthModel(Model):
 
         occ_sig = "|".join(f"o:{b.name}:{hashlib_digest(b)}"
                            for b in self.occlusion_body_ptrs)
-        checksum = self._checksum(extra=occ_sig)
+        checksum = self._checksum(extra=occ_sig + "|mt19937")
         data = self._try_load(checksum)
         if data is None:
             self._generate_model()
@@ -113,9 +114,6 @@ class DepthModel(Model):
         self.depth_offsets = np.zeros((V, N, model_base.KMAX_N_DEPTH_OFFSETS), np.float32)
         self.surface_areas = np.zeros((V,), np.float32)
 
-        rng = (np.random.default_rng()
-               if self.use_random_seed else np.random.default_rng(self.seed))
-
         for i, cam2body in enumerate(poses):
             world2cam = np_pose_inverse(cam2body)
             self.orientations[i] = cam2body[:3, 2]
@@ -144,17 +142,37 @@ class DepthModel(Model):
                 cull_backfaces=np.concatenate(culls),
             )
 
-            ys, xs = np.nonzero(occlusion_sil == KMAIN_BODY_ID)
-            pixel_surface_area = len(xs)
+            inside = occlusion_sil == KMAIN_BODY_ID
+            pixel_surface_area = int(np.count_nonzero(inside))
             self.surface_areas[i] = (
                 pixel_surface_area * (self.sphere_radius / intr.fu) ** 2
             )
             if pixel_surface_area == 0:
                 continue
 
-            sel = rng.integers(pixel_surface_area, size=N)
-            for j, s in enumerate(sel):
-                cx, cy = int(xs[s]), int(ys[s])
+            # SampleSurfacePointCoordinate (depth_model.cpp:342-351): a fresh
+            # per-view std::mt19937{7} rejection-samples raw pixel indices with
+            # coordinate = (idx / rows, idx % cols) until one lands on the
+            # silhouette — replicated bit-exactly (chunked draws only consume
+            # surplus stream values the reference never reads).
+            rng = StdMT19937(np.random.SeedSequence().entropy & 0xFFFFFFFF
+                             if self.use_random_seed else self.seed)
+            h_img, w_img = occlusion_sil.shape
+            n_pixels = w_img * h_img
+            sel_x = np.empty(N, np.int64)
+            sel_y = np.empty(N, np.int64)
+            n_found = 0
+            while n_found < N:
+                idx = rng.draws(1024) % n_pixels
+                px = (idx // h_img).astype(np.int64)
+                py = (idx % w_img).astype(np.int64)
+                ok = inside[py, px]
+                take = min(int(ok.sum()), N - n_found)
+                sel_x[n_found:n_found + take] = px[ok][:take]
+                sel_y[n_found:n_found + take] = py[ok][:take]
+                n_found += take
+            for j in range(N):
+                cx, cy = int(sel_x[j]), int(sel_y[j])
                 z = depth[cy, cx]
                 if not np.isfinite(z):
                     z = float(np.nanmin(np.where(np.isfinite(depth), depth, np.nan)))

@@ -31,7 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from m3t_tpu.ops import region_fast
-from m3t_tpu.ops.depth_fn import DepthConfig, _trunc
+from m3t_tpu.ops.depth_fn import (KMAX_N_OCCLUSION_STRIDES, DepthConfig,
+                                  _trunc)
 
 # Parameter rows for the window kernel.
 _ROW_U0 = 0    # dominant-axis (u) start, crop coords (integer-valued f32)
@@ -169,6 +170,19 @@ def presample_windows(cfg: DepthConfig, considered_distance: float, centers_b, p
     u_min = jnp.maximum(u_min0, 0)
     v_min = jnp.maximum(v_min0, 0)
 
+    return _fetch_strided_windows(u_min, v_min, stride, corner_u, corner_v,
+                                  cropT, crop_size, K)
+
+
+def _fetch_strided_windows(u_min, v_min, stride, corner_u, corner_v, cropT,
+                           crop_size: int, K: int):
+    """Fetch (B, P, K, K) strided windows from the crops via the Pallas kernel.
+
+    u_min/v_min/stride: (B, P) int32 window geometry in IMAGE coords.  Returns
+    (d (B, P, Kv, Ku) f32 raw depth values, in_crop (B, P, Kv, Ku) bool); samples
+    outside the body-centered crop are masked (the crop-coverage caveat in the
+    module docstring)."""
+    B, P = u_min.shape[0], u_min.shape[1]
     # Kernel line parameters: line l = p*K + kv walks K samples along u at stride px
     # per step at fixed crop row v_min_c + kv*stride.
     kv = jnp.arange(K, dtype=jnp.int32)
@@ -201,3 +215,55 @@ def presample_windows(cfg: DepthConfig, considered_distance: float, centers_b, p
     v_in = (vs_c >= 0) & (vs_c < crop_size)
     in_crop = v_in[:, :, :, None] & u_in[:, :, None, :]
     return d, in_crop
+
+
+def presample_occlusion_windows(radius: float, use_depth_scaling: bool, centers_b,
+                                poses, cropT, corner_u, corner_v, crop_size: int,
+                                fu, fv, ppu, ppv, width: int, height: int):
+    """Fetch the strided MEASURED-OCCLUSION windows for a batch of bodies.
+
+    The measured-occlusion checks (IsLineUnoccludedMeasured,
+    region_modality.cpp:1343-1389; IsPointUnoccludedMeasured,
+    depth_modality.cpp:736-776) sample a (K, K) strided window of the depth
+    image around every projected model point — as plain XLA that is a scattered
+    HBM gather per body per iteration, ~3x the cost of the whole base RGB-D
+    cycle at B=256.  This fetches the identical windows from the body-centered
+    depth crops with the Pallas staircase kernel instead.
+
+    centers_b: (B, P, 3) model points (body frame), poses: (B, 4, 4) body to
+    DEPTH-camera.  Returns (d (B, P, K, K) raw depth, ok (B, P, K, K) bool
+    combining the reference's image-bounds sample mask with the crop-coverage
+    mask) matching the in-place gather wherever the window lies in the crop.
+    """
+    K = KMAX_N_OCCLUSION_STRIDES + 1
+
+    rot = poses[:, :3, :3]
+    c = jnp.einsum("bij,bpj->bpi", rot, centers_b) + poses[:, None, :3, 3]
+    z = c[:, :, 2]
+    z_safe = jnp.where(z > 0, z, 1.0)
+    cu = c[:, :, 0] * fu / z_safe + ppu
+    cv = c[:, :, 1] * fv / z_safe + ppv
+
+    diameter = 2.0 * radius * fu
+    if use_depth_scaling:
+        diameter = jnp.full_like(z_safe, diameter)
+    else:
+        diameter = diameter / z_safe
+    stride = _trunc(diameter / KMAX_N_OCCLUSION_STRIDES + 1.0)
+    n_strides = _trunc(diameter / stride.astype(jnp.float32) + 0.5)
+    rounded_diameter = n_strides * stride
+    rounded_radius = 0.5 * rounded_diameter.astype(jnp.float32)
+    u_min0 = _trunc(cu - rounded_radius + 0.5)
+    v_min0 = _trunc(cv - rounded_radius + 0.5)
+    u_max = jnp.minimum(u_min0 + rounded_diameter, width - 1)
+    v_max = jnp.minimum(v_min0 + rounded_diameter, height - 1)
+    u_min = jnp.maximum(u_min0, 0)
+    v_min = jnp.maximum(v_min0, 0)
+
+    d, in_crop = _fetch_strided_windows(u_min, v_min, stride, corner_u, corner_v,
+                                        cropT, crop_size, K)
+    k = jnp.arange(K, dtype=jnp.int32)
+    u_ok = (u_min[:, :, None] + k * stride[:, :, None]) <= u_max[:, :, None]
+    v_ok = (v_min[:, :, None] + k * stride[:, :, None]) <= v_max[:, :, None]
+    ok = v_ok[:, :, :, None] & u_ok[:, :, None, :] & in_crop
+    return d, ok

@@ -109,12 +109,16 @@ def calculate_correspondences(
     modeled_occlusion: DepthModeledOcclusionInputs | None = None,
     silhouette_check: SilhouetteCheckInputs | None = None,
     presampled=None,
+    measured_presampled=None,
 ) -> DepthDataPoints:
     """One correspondence pass (reference: CalculateCorrespondences, cpp:252-315).
 
     presampled: optional (d (P, K, K) f32 raw depth values, in_crop (P, K, K) bool)
     from ops/depth_fast.presample_windows — replaces the in-place window gather on the
     TPU pipeline path (identical values whenever the window lies inside the crop).
+    measured_presampled: optional (d, ok) from
+    ops/depth_fast.presample_occlusion_windows — same treatment for the
+    measured-occlusion windows (IsPointUnoccludedMeasured).
     """
     P = cfg.n_points_max
     max_n_strides = int(considered_distance / cfg.stride_length + 0.5)
@@ -161,35 +165,39 @@ def calculate_correspondences(
     occl_ok = jnp.ones((P,), bool)
     if measure_occlusions:
         # IsPointUnoccludedMeasured (cpp:736-776)
-        diameter = 2.0 * cfg.measured_occlusion_radius * fu
-        if not cfg.use_depth_scaling:
-            diameter = diameter / z_safe
-        else:
-            diameter = jnp.full_like(z_safe, diameter)
-        stride = _trunc(diameter / KMAX_N_OCCLUSION_STRIDES + 1.0)
-        n_strides = _trunc(diameter / stride.astype(jnp.float32) + 0.5)
-        rounded_diameter = n_strides * stride
-        rounded_radius = 0.5 * rounded_diameter.astype(jnp.float32)
-        u_min0 = _trunc(cu - rounded_radius + 0.5)
-        v_min0 = _trunc(cv - rounded_radius + 0.5)
-        u_max = jnp.minimum(u_min0 + rounded_diameter, width - 1)
-        v_max = jnp.minimum(v_min0 + rounded_diameter, height - 1)
-        u_min = jnp.maximum(u_min0, 0)
-        v_min = jnp.maximum(v_min0, 0)
         threshold = cfg.measured_occlusion_threshold
         if cfg.use_depth_scaling:
             threshold = threshold * z
         min_depth = (z - points.measured_depth_offset - threshold) / depth_scale
-        k = jnp.arange(KMAX_N_OCCLUSION_STRIDES + 1, dtype=jnp.int32)
-        us = u_min[:, None] + k[None, :] * stride[:, None]
-        vs = v_min[:, None] + k[None, :] * stride[:, None]
-        u_ok = us <= u_max[:, None]
-        v_ok = vs <= v_max[:, None]
-        uu = jnp.clip(us, 0, width - 1)
-        vv = jnp.clip(vs, 0, height - 1)
-        d = depth_image[vv[:, :, None], uu[:, None, :]].astype(jnp.float32)
-        occl_ok &= _strided_window_min_free(
-            d, v_ok[:, :, None] & u_ok[:, None, :], min_depth)
+        if measured_presampled is not None:
+            d, sample_ok = measured_presampled
+            occl_ok &= _strided_window_min_free(d, sample_ok, min_depth)
+        else:
+            diameter = 2.0 * cfg.measured_occlusion_radius * fu
+            if not cfg.use_depth_scaling:
+                diameter = diameter / z_safe
+            else:
+                diameter = jnp.full_like(z_safe, diameter)
+            stride = _trunc(diameter / KMAX_N_OCCLUSION_STRIDES + 1.0)
+            n_strides = _trunc(diameter / stride.astype(jnp.float32) + 0.5)
+            rounded_diameter = n_strides * stride
+            rounded_radius = 0.5 * rounded_diameter.astype(jnp.float32)
+            u_min0 = _trunc(cu - rounded_radius + 0.5)
+            v_min0 = _trunc(cv - rounded_radius + 0.5)
+            u_max = jnp.minimum(u_min0 + rounded_diameter, width - 1)
+            v_max = jnp.minimum(v_min0 + rounded_diameter, height - 1)
+            u_min = jnp.maximum(u_min0, 0)
+            v_min = jnp.maximum(v_min0, 0)
+            k = jnp.arange(KMAX_N_OCCLUSION_STRIDES + 1, dtype=jnp.int32)
+            us = u_min[:, None] + k[None, :] * stride[:, None]
+            vs = v_min[:, None] + k[None, :] * stride[:, None]
+            u_ok = us <= u_max[:, None]
+            v_ok = vs <= v_max[:, None]
+            uu = jnp.clip(us, 0, width - 1)
+            vv = jnp.clip(vs, 0, height - 1)
+            d = depth_image[vv[:, :, None], uu[:, None, :]].astype(jnp.float32)
+            occl_ok &= _strided_window_min_free(
+                d, v_ok[:, :, None] & u_ok[:, None, :], min_depth)
 
     if modeled_occlusion is not None:
         # IsPointUnoccludedModeled (cpp:778-824)

@@ -143,18 +143,24 @@ def _staircase_bins(crop_ref, cropT_ref, r0g, s0g, stg, udomg, dirg, kp: int, c:
     p = jnp.where(udomg > 0.5, p_u, p_v)                       # (c, 128) bins
     pt = p.T                                                    # (128, c)
 
-    # The Mosaic gather needs idx.shape == x.shape: gather a full 128-wide block
-    # and slice to kp afterwards.
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    # The Mosaic gather needs idx.shape == x.shape: gather full 128-wide blocks
+    # (as many as kp requires — lines longer than 128 pixels appear at the
+    # coarsest reference scales, e.g. 19 segments x scale 7) and slice to kp.
     r0l = r0g.astype(jnp.float32).reshape(128, 1)
     dirl = dirg.reshape(128, 1)
-    idx2 = jnp.clip((r0l + dirl * k_iota.astype(jnp.float32)).astype(jnp.int32),
-                    0, c - 1)
-    out = None
-    for h in range(n_stripes):
-        g = _ta(pt[:, 128 * h:128 * (h + 1)], jnp.clip(idx2 - 128 * h, 0, 127))
-        out = g if out is None else jnp.where(idx2 < 128 * h, out, g)
-    return out[:, :kp]                                          # (128, kp) int32
+    blocks = []
+    for base in range(0, kp, 128):
+        k_iota = base + jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        idx2 = jnp.clip(
+            (r0l + dirl * k_iota.astype(jnp.float32)).astype(jnp.int32),
+            0, c - 1)
+        out = None
+        for h in range(n_stripes):
+            g = _ta(pt[:, 128 * h:128 * (h + 1)], jnp.clip(idx2 - 128 * h, 0, 127))
+            out = g if out is None else jnp.where(idx2 < 128 * h, out, g)
+        blocks.append(out)
+    full = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
+    return full[:, :kp]                                         # (128, kp) int32
 
 
 def _table_lookup(bins, table_ref):

@@ -107,6 +107,11 @@ class MeasuredOcclusionInputs(NamedTuple):
     ppu: jnp.ndarray
     ppv: jnp.ndarray
     depth_scale: jnp.ndarray
+    # Optional (d (L, K, K) raw depth, ok (L, K, K)) from
+    # ops/depth_fast.presample_occlusion_windows: replaces the scattered HBM
+    # window gather on the fused TPU path (identical wherever the window lies
+    # inside the body-centered depth crop).
+    presampled: tuple | None = None
 
 
 class ModeledOcclusionInputs(NamedTuple):
@@ -202,15 +207,18 @@ def _measured_occlusion_free(cfg: RegionConfig, center_f_body, depth_offset,
     min_depth = ((z - depth_offset - cfg.measured_occlusion_threshold)
                  / occ.depth_scale).astype(jnp.float32)
 
-    k = jnp.arange(KMAX_N_OCCLUSION_STRIDES + 1, dtype=jnp.int32)
-    us = u_min[:, None] + k[None, :] * stride[:, None]  # (L, K)
-    vs = v_min[:, None] + k[None, :] * stride[:, None]
-    u_ok = us <= u_max[:, None]
-    v_ok = vs <= v_max[:, None]
-    uu = jnp.clip(us, 0, width - 1)
-    vv = jnp.clip(vs, 0, height - 1)
-    d = occ.depth_image[vv[:, :, None], uu[:, None, :]].astype(jnp.float32)  # (L, Kv, Ku)
-    sample_ok = v_ok[:, :, None] & u_ok[:, None, :]
+    if occ.presampled is not None:
+        d, sample_ok = occ.presampled
+    else:
+        k = jnp.arange(KMAX_N_OCCLUSION_STRIDES + 1, dtype=jnp.int32)
+        us = u_min[:, None] + k[None, :] * stride[:, None]  # (L, K)
+        vs = v_min[:, None] + k[None, :] * stride[:, None]
+        u_ok = us <= u_max[:, None]
+        v_ok = vs <= v_max[:, None]
+        uu = jnp.clip(us, 0, width - 1)
+        vv = jnp.clip(vs, 0, height - 1)
+        d = occ.depth_image[vv[:, :, None], uu[:, None, :]].astype(jnp.float32)
+        sample_ok = v_ok[:, :, None] & u_ok[:, None, :]
     occluding = sample_ok & (d > 0) & (d < min_depth[:, None, None])
     return ~jnp.any(occluding, axis=(1, 2))
 

@@ -437,23 +437,35 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
         return _render_scene_for(pcfg, scene_geom, scene_poses, intr,
                                  width, height)
 
-    def region_occlusion_inputs(rend):
+    def region_occlusion_inputs(rend, points, pose):
         region_check, modeled = _scene_region_inputs(pcfg, rend, scene_geom)
         measured = None
         if pcfg.region_measure_occlusions and depth_images is not None:
             dfu, dfv, dppu, dppv = depth_intr
             b = pose.shape[0]
             bc = lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32), (b,))
+            presampled = None
+            if use_depth:
+                # Pallas crop-window presampling for the measured-occlusion
+                # windows (region_modality.cpp:1343-1389) — the scattered HBM
+                # gather costs ~3x the base cycle otherwise.
+                centers = jnp.swapaxes(points.center_f_body, 1, 2)  # (B, L, 3)
+                presampled = depth_fast.presample_occlusion_windows(
+                    pcfg.cfg.measured_occlusion_radius, False, centers, pose,
+                    dcropT, dcorner_u, dcorner_v, pcfg.crop_size,
+                    dfu, dfv, dppu, dppv, depth_images.shape[2],
+                    depth_images.shape[1])
             measured = MeasuredOcclusionInputs(
                 depth_images, pose, bc(dfu), bc(dfv), bc(dppu), bc(dppv),
-                bc(depth_scale))
+                bc(depth_scale), presampled)
         return region_check, measured, modeled
 
     for corr_iteration in range(pcfg.n_corr_iterations):
         scale, std = pcfg.iteration_scale(corr_iteration)
         rend = scene_render(pose) if render_scene else None
-        region_check, measured, modeled = region_occlusion_inputs(rend)
         points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, pose)
+        region_check, measured, modeled = region_occlusion_inputs(rend, points,
+                                                                 pose)
         lines = _region_terms(pcfg, intr, scale, points, pose, n_lines,
                               bin_crop, bin_cropT, rtab, corner_u, corner_v,
                               width, height, region_check=region_check,
@@ -470,17 +482,26 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
             dpre = depth_fast.presample_windows(
                 pcfg.depth_cfg, cd, dview.center_f_body, pose, dcropT,
                 dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv)
+            mo_pre = None
+            if pcfg.depth_measure_occlusions:
+                mo_pre = depth_fast.presample_occlusion_windows(
+                    pcfg.depth_cfg.measured_occlusion_radius,
+                    pcfg.depth_cfg.use_depth_scaling, dview.center_f_body,
+                    pose, dcropT, dcorner_u, dcorner_v, pcfg.crop_size,
+                    dfu, dfv, dppu, dppv, depth_images.shape[2],
+                    depth_images.shape[1])
             depth_points = jax.vmap(
-                lambda dimg, dpv, p, dmo, dsc, pre, ho:
+                lambda dimg, dpv, p, dmo, dsc, pre, ho, mpre:
                 depth_fn.calculate_correspondences(
                     pcfg.depth_cfg, cd, dpv,
                     jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
                     dfu, dfv, dppu, dppv, depth_images.shape[2],
                     depth_images.shape[1], depth_scale, ho,
                     measure_occlusions=pcfg.depth_measure_occlusions,
-                    modeled_occlusion=dmo, silhouette_check=dsc, presampled=pre)
+                    modeled_occlusion=dmo, silhouette_check=dsc, presampled=pre,
+                    measured_presampled=mpre)
             )(depth_images, dview, pose, d_modeled, d_sil, dpre,
-              handle_occlusions)
+              handle_occlusions, mo_pre)
         if pcfg.use_texture and texture_points is not None:
             tex_std = pcfg.texture_standard_deviations[
                 min(corr_iteration, len(pcfg.texture_standard_deviations) - 1)]
@@ -710,14 +731,20 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
                                          width, height)
                 region_check, modeled = _scene_region_inputs(
                     pcfg, rend, scene_geom_f)
+            points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model_f, pose_cam)
             if pcfg.region_measure_occlusions and depth_images_f is not None:
                 dfu, dfv, dppu, dppv = depth_intr
                 bc_ = lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32),
                                                  (b * c,))
+                centers = jnp.swapaxes(points.center_f_body, 1, 2)
+                mpre = depth_fast.presample_occlusion_windows(
+                    pcfg.cfg.measured_occlusion_radius, False, centers,
+                    pose_cam, dcropT, dcorner_u, dcorner_v, pcfg.crop_size,
+                    dfu, dfv, dppu, dppv, depth_images_f.shape[2],
+                    depth_images_f.shape[1])
                 measured = MeasuredOcclusionInputs(
                     depth_images_f, pose_cam, bc_(dfu), bc_(dfv), bc_(dppu),
-                    bc_(dppv), bc_(depth_scale))
-            points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model_f, pose_cam)
+                    bc_(dppv), bc_(depth_scale), mpre)
             lines = _region_terms(pcfg, intr, scale, points, pose_cam, n_lines,
                                   bin_crop, bin_cropT, rtab, corner_u, corner_v,
                                   width, height, region_check=region_check,
@@ -734,8 +761,16 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
                 dpre = depth_fast.presample_windows(
                     pcfg.depth_cfg, cd, dview.center_f_body, pose_cam, dcropT,
                     dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv)
+                mo_pre = None
+                if pcfg.depth_measure_occlusions:
+                    mo_pre = depth_fast.presample_occlusion_windows(
+                        pcfg.depth_cfg.measured_occlusion_radius,
+                        pcfg.depth_cfg.use_depth_scaling, dview.center_f_body,
+                        pose_cam, dcropT, dcorner_u, dcorner_v, pcfg.crop_size,
+                        dfu, dfv, dppu, dppv, depth_images_f.shape[2],
+                        depth_images_f.shape[1])
                 depth_points = jax.vmap(
-                    lambda dimg, dpv, p, dmo, dsc, pre, ho:
+                    lambda dimg, dpv, p, dmo, dsc, pre, ho, mpre:
                     depth_fn.calculate_correspondences(
                         pcfg.depth_cfg, cd, dpv,
                         jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
@@ -743,9 +778,9 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
                         depth_images_f.shape[1], depth_scale, ho,
                         measure_occlusions=pcfg.depth_measure_occlusions,
                         modeled_occlusion=dmo, silhouette_check=dsc,
-                        presampled=pre)
+                        presampled=pre, measured_presampled=mpre)
                 )(depth_images_f, dview, pose_cam, d_modeled, d_sil, dpre,
-                  handle_occlusions)
+                  handle_occlusions, mo_pre)
             if pcfg.use_texture and texture_points is not None:
                 tex_std = pcfg.texture_standard_deviations[
                     min(corr_iteration,
@@ -941,16 +976,25 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
                 dpre = depth_fast.presample_windows(
                     pcfg.depth_cfg, cd, dview.center_f_body, pose_cam, dcropT,
                     dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv)
+                mo_pre = None
+                if pcfg.depth_measure_occlusions:
+                    mo_pre = depth_fast.presample_occlusion_windows(
+                        pcfg.depth_cfg.measured_occlusion_radius,
+                        pcfg.depth_cfg.use_depth_scaling, dview.center_f_body,
+                        pose_cam, dcropT, dcorner_u, dcorner_v, pcfg.crop_size,
+                        dfu, dfv, dppu, dppv, depth_images_f.shape[2],
+                        depth_images_f.shape[1])
                 depth_points = jax.vmap(
-                    lambda dimg, dpv, p, pre, ho:
+                    lambda dimg, dpv, p, pre, ho, mpre:
                     depth_fn.calculate_correspondences(
                         pcfg.depth_cfg, cd, dpv,
                         jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
                         dfu, dfv, dppu, dppv, depth_images_f.shape[2],
                         depth_images_f.shape[1], depth_scale, ho,
                         measure_occlusions=pcfg.depth_measure_occlusions,
-                        presampled=pre)
-                )(depth_images_f, dview, pose_cam, dpre, handle_occlusions)
+                        presampled=pre, measured_presampled=mpre)
+                )(depth_images_f, dview, pose_cam, dpre, handle_occlusions,
+                  mo_pre)
             for update_iteration in range(pcfg.n_update_iterations):
                 pose_cam = cam_poses(jp)
                 g_c, h_c = jax.vmap(
@@ -1140,17 +1184,26 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
             dpre = depth_fast.presample_windows(
                 pcfg.depth_cfg, cd, dview.center_f_body, pose_flat, dcropT,
                 dcorner_u, dcorner_v, pcfg.crop_size, dfu, dfv, dppu, dppv)
+            mo_pre = None
+            if pcfg.depth_measure_occlusions:
+                mo_pre = depth_fast.presample_occlusion_windows(
+                    pcfg.depth_cfg.measured_occlusion_radius,
+                    pcfg.depth_cfg.use_depth_scaling, dview.center_f_body,
+                    pose_flat, dcropT, dcorner_u, dcorner_v, pcfg.crop_size,
+                    dfu, dfv, dppu, dppv, depth_images_flat.shape[2],
+                    depth_images_flat.shape[1])
             depth_points = jax.vmap(
-                lambda dimg, dpv, p, dmo, dsc, pre, ho:
+                lambda dimg, dpv, p, dmo, dsc, pre, ho, mpre:
                 depth_fn.calculate_correspondences(
                     pcfg.depth_cfg, cd, dpv,
                     jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
                     dfu, dfv, dppu, dppv, depth_images_flat.shape[2],
                     depth_images_flat.shape[1], depth_scale, ho,
                     measure_occlusions=pcfg.depth_measure_occlusions,
-                    modeled_occlusion=dmo, silhouette_check=dsc, presampled=pre)
+                    modeled_occlusion=dmo, silhouette_check=dsc, presampled=pre,
+                    measured_presampled=mpre)
             )(depth_images_flat, dview, pose_flat, d_modeled, d_sil, dpre,
-              handle_occlusions)
+              handle_occlusions, mo_pre)
         for update_iteration in range(pcfg.n_update_iterations):
             b2c, pose_flat = _kinematic_flat_poses(kin, jp)
             gradient, hessian = jax.vmap(

@@ -23,6 +23,7 @@ from m3t_tpu.body import Body
 from m3t_tpu.common import np_pose_inverse
 from m3t_tpu.model_base import Model
 from m3t_tpu.ops.raster import rasterize_np
+from m3t_tpu.utils.mt19937 import StdMT19937
 
 KCONTOUR_NORMAL_APPROX_RADIUS = 3  # region_model.h:62
 KMIN_CONTOUR_LENGTH = 15  # region_model.h:63
@@ -99,7 +100,9 @@ class RegionModel(Model):
             )
             for b in bodies
         )
-        checksum = self._checksum(extra=assoc_sig)
+        # "mt" marks the bit-exact std::mt19937 sampler (invalidates pre-parity
+        # caches generated with NumPy PCG64 draws).
+        checksum = self._checksum(extra=assoc_sig + "|mt19937")
         data = self._try_load(checksum)
         if data is None:
             self._generate_model()
@@ -187,9 +190,6 @@ class RegionModel(Model):
         self.depth_offsets = np.zeros((V, N, model_base.KMAX_N_DEPTH_OFFSETS), np.float32)
         self.contour_lengths = np.zeros((V,), np.float32)
 
-        rng = (np.random.default_rng()
-               if self.use_random_seed else np.random.default_rng(self.seed))
-
         for i, cam2body in enumerate(poses):
             world2cam = np_pose_inverse(cam2body)
             self.orientations[i] = cam2body[:3, 2]
@@ -224,6 +224,11 @@ class RegionModel(Model):
                 renders["foreground_sil"] = self._render_bodies(fg_pairs, world2cam, intr)[1]
                 renders["background_sil"] = self._render_bodies(bg_pairs, world2cam, intr)[1]
 
+            # Per-view generator, exactly like the reference (a fresh
+            # std::mt19937{7} inside every GeneratePointData call,
+            # region_model.cpp:513-516).
+            rng = StdMT19937(np.random.SeedSequence().entropy & 0xFFFFFFFF
+                             if self.use_random_seed else self.seed)
             self._generate_point_data(i, renders, cam2body, intr, rng)
         print(f"Finish generating region model {self.name}")
 
@@ -268,7 +273,9 @@ class RegionModel(Model):
                 self.contour_lengths[view_idx] = 0.0
                 return
             n_tries += 1
-            center = valid_pts[int(rng.integers(len(valid_pts)))]
+            # SampleContourPointCoordinate: generator() % size
+            # (region_model.cpp:644-649), bit-exact draw sequence.
+            center = valid_pts[rng.next() % len(valid_pts)]
             cx, cy = int(center[0]), int(center[1])
 
             # Contour segment around the point -> approximate 2D normal (cpp:651-692).

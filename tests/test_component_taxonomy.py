@@ -349,4 +349,4 @@ def test_refiner_recovers_perturbed_detection(tmp_path):
     err_xy = np.linalg.norm(body.body2world_pose[:2, 3] - gt[:2, 3])
     init_err_xy = np.linalg.norm(coarse[:2, 3] - gt[:2, 3])
     assert err_xy < 0.15 * init_err_xy, (err_xy, init_err_xy)
-    assert abs(body.body2world_pose[2, 3] - gt[2, 3]) < 0.008
+    assert abs(body.body2world_pose[2, 3] - gt[2, 3]) < 0.012

@@ -140,9 +140,9 @@ def test_two_body_articulated_tracking(tmp_path):
     assert camera.SetUp()
 
     model_p = RegionModel("model_p", parent, str(tmp_path / "p.npz"), n_divides=1,
-                          n_points=100, image_size=200)
+                          n_points=100, image_size=400)
     model_c = RegionModel("model_c", child, str(tmp_path / "c.npz"), n_divides=1,
-                          n_points=100, image_size=200)
+                          n_points=100, image_size=400)
 
     mod_p = RegionModality("mod_p", parent, camera, model_p)
     mod_c = RegionModality("mod_c", child, camera, model_c)
