@@ -69,12 +69,14 @@ class RBOTEvaluator:
         self.use_region_checking = False
         self.use_texture_modality = False
         self.model_occlusions = False
-        # TPU throughput path: run every (sequence, body) combination as ONE batch
-        # through pipeline.tracking_cycle (the analogue of the reference's
-        # `#pragma omp parallel for` over runs, ycb_evaluator.cpp:210).  The
-        # reset-to-GT protocol stays host-side (it IS the metric).  Occlusion
-        # sequences fall back to the object-graph path.
-        self.use_fused_pipeline = False
+        # TPU throughput path (DEFAULT): every (sequence, body) combination runs
+        # as ONE batch through pipeline.tracking_cycle (the analogue of the
+        # reference's `#pragma omp parallel for` over runs,
+        # ycb_evaluator.cpp:210), occlusion sequences included (the
+        # squirrel_small partner tracks as a hidden batch entry feeding the
+        # occlusion SceneGeometry).  The reset-to-GT protocol stays host-side
+        # (it IS the metric).  Set False for the object-graph parity path.
+        self.use_fused_pipeline = True
         self.pipeline_config = None  # Optional m3t_tpu.pipeline.PipelineConfig
         self.n_unoccluded_iterations = 10  # region_modality.h:442
         # Callables to tweak object parameters before SetUp (mirrors *_setter_ hooks).
@@ -367,7 +369,11 @@ class RBOTEvaluator:
                 else:
                     scenes.append([own])
                     has_partner.append(False)
-            scene_geom = occlusion_ops.build_scene_geometry(scenes)
+            # Occlusion checks need only coarse geometry (cm-scale thresholds);
+            # decimate like the reference's renderer geometry does for its
+            # occlusion meshes.
+            scene_geom = occlusion_ops.build_scene_geometry(scenes,
+                                                            decimate_to=512)
             # Regular entries carry no occlusion scene in the host path (no
             # focused renderers are built for them, _setup_tracker): mask their
             # triangles/references so body_visible == False and every check

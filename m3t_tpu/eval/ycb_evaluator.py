@@ -81,12 +81,13 @@ class YCBEvaluator:
         self.run_sequentially = True
         self.depth_scale = 0.0001  # YCB-Video factor_depth = 10000
         self.intrinsics = YCB_INTRINSICS
-        # TPU throughput path: every (sequence, body) run tracks as ONE batch
-        # through pipeline.tracking_cycle_rgbd (the analogue of the reference's
-        # `#pragma omp parallel for` over sequences, ycb_evaluator.cpp:210).
-        # Keyframe metrics, detector initialization and (optional) host texture
-        # features stay host-side.
-        self.use_fused_pipeline = False
+        # TPU throughput path (DEFAULT): every (sequence, body) run tracks as
+        # ONE batch through pipeline.tracking_cycle_rgbd (the analogue of the
+        # reference's `#pragma omp parallel for` over sequences,
+        # ycb_evaluator.cpp:210).  Keyframe metrics, detector initialization and
+        # (optional) host texture features stay host-side.  Set False for the
+        # object-graph parity path.
+        self.use_fused_pipeline = True
         self.pipeline_config = None  # Optional m3t_tpu.pipeline.PipelineConfig
         # Setter hooks (evaluate_ycb_dataset.cpp:46-117)
         self.tracker_setter = lambda t: None

@@ -115,6 +115,7 @@ def test_rbot_evaluator_on_synthetic_mini_dataset(tmp_path):
                               body_names=["ball"], sequence_names=["a_regular"],
                               sequence_occlusions=[False], n_frames=n_frames)
     evaluator.intrinsics = intr
+    evaluator.use_fused_pipeline = False  # exercise the object-graph path
 
     def model_setter(model):
         model.n_divides = 1
@@ -265,6 +266,7 @@ def test_ycb_evaluator_on_synthetic_mini_dataset(tmp_path):
                              sequence_ids=[1], sequence2body_names={1: ["ball"]})
     evaluator.intrinsics = intr
     evaluator.depth_scale = depth_scale
+    evaluator.use_fused_pipeline = False  # exercise the object-graph path
 
     def region_model_setter(m):
         m.n_divides = 1
