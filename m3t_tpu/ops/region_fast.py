@@ -523,8 +523,14 @@ def gradient_hessian_cl(cfg: RegionConfig, lines: DataLinesCL, pose,
         in_range = (dist_idx_upper > 0) & (dist_idx_upper < d)
         iu = jnp.clip(dist_idx_upper, 0, d - 1)
         il = jnp.clip(dist_idx_lower, 0, d - 1)
-        p_u = jnp.take_along_axis(lines.distribution, iu[None, :], axis=0)[0]
-        p_l = jnp.take_along_axis(lines.distribution, il[None, :], axis=0)[0]
+        # Per-lane row select from the (D, LP) distribution as a one-hot
+        # contraction over the tiny D axis — an XLA gather here costs ~3x the
+        # rest of the update iteration on TPU.
+        rows = jax.lax.broadcasted_iota(jnp.int32, lines.distribution.shape, 0)
+        p_u = jnp.sum(jnp.where(rows == iu[None, :], lines.distribution, 0.0),
+                      axis=0)
+        p_l = jnp.sum(jnp.where(rows == il[None, :], lines.distribution, 0.0),
+                      axis=0)
         dll = (jnp.log(jnp.maximum(p_u, 1e-30)) - jnp.log(jnp.maximum(p_l, 1e-30))) \
             * cfg.learning_rate / lines.measured_variance
         valid = lines.valid & in_range
