@@ -264,12 +264,49 @@ def _prepare_crops(pcfg: PipelineConfig, intr, images, poses):
     return bin_crop, bin_cropT, corner_u, corner_v
 
 
+def _ldlt_solve_6x6(a, b):
+    """Unrolled batched LDLT solve for symmetric 6x6 systems: a (B, 6, 6), b (B, 6).
+
+    The Tikhonov-regularized system is symmetric positive definite, so the
+    reference's LDLT (optimizer.cpp:162-163) applies; XLA's batched
+    ``jnp.linalg.solve`` lowers to an LU custom-call that costs ~0.8 ms per
+    launch at B=512 on TPU, ~7 ms per cycle — this fully-vectorized unroll
+    (every op elementwise over the batch) is free by comparison.
+    """
+    n = 6
+    low = [[None] * n for _ in range(n)]
+    diag = [None] * n
+    for j in range(n):
+        s = a[:, j, j]
+        for k in range(j):
+            s = s - low[j][k] * low[j][k] * diag[k]
+        diag[j] = s
+        for i in range(j + 1, n):
+            t = a[:, i, j]
+            for k in range(j):
+                t = t - low[i][k] * low[j][k] * diag[k]
+            low[i][j] = t / s
+    y = [None] * n
+    for i in range(n):
+        t = b[:, i]
+        for k in range(i):
+            t = t - low[i][k] * y[k]
+        y[i] = t
+    x = [None] * n
+    for i in reversed(range(n)):
+        t = y[i] / diag[i]
+        for k in range(i + 1, n):
+            t = t - low[k][i] * x[k]
+        x[i] = t
+    return jnp.stack(x, axis=1)
+
+
 def _solve_and_update(pcfg: PipelineConfig, gradient, hessian, pose):
     """Batched Tikhonov-regularized Newton step (optimizer.cpp:144-167, single link)."""
     tikhonov = jnp.diag(jnp.asarray(
         [pcfg.tikhonov_rotation] * 3 + [pcfg.tikhonov_translation] * 3, jnp.float32))
     a = -hessian + tikhonov[None, :, :]
-    theta = jnp.linalg.solve(a, gradient[..., None])[..., 0]
+    theta = _ldlt_solve_6x6(a, gradient)
     theta = jnp.where(jnp.any(jnp.isnan(theta), axis=-1, keepdims=True),
                       jnp.zeros_like(theta), theta)
     # Single root link with identity body2joint: pose' = pose @ variation
