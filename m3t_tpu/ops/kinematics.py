@@ -289,6 +289,11 @@ def solve_structure(model: KinematicModel, joint2parent, gradients, hessians,
     a = a.at[jnp.arange(size), jnp.arange(size)].set(diag)
     b = b * jnp.concatenate([col_free > 0, row_active > 0])
 
+    # NOTE: an unrolled LDLT (like pipeline._ldlt_solve_6x6) was measured
+    # slightly SLOWER here (11.1k vs 11.7k bf/s at S=256, NL=2): the KKT solve
+    # is not the kinematic cycle's bottleneck and the deep scalar dependency
+    # chain fuses poorly under the structure vmap — the batched LU custom-call
+    # stays.
     theta = jnp.linalg.solve(a, b)
     theta = jnp.where(jnp.any(jnp.isnan(theta)), jnp.zeros_like(theta), theta)
     theta_links = theta[:d].reshape(nl, 6) * model.free * lv[:, None]
