@@ -141,3 +141,17 @@ def test_sharded_cycle_equals_unsharded(batch):
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_c.histogram_f[:, 0]),
                                np.asarray(out_d.histogram_f), rtol=0, atol=1e-6)
+
+
+def test_ldlt_solve_6x6_matches_linalg_solve(rng):
+    """pipeline._ldlt_solve_6x6 == jnp.linalg.solve on SPD Tikhonov systems."""
+    import jax.numpy as jnp
+
+    h = rng.normal(size=(64, 6, 6)).astype(np.float32)
+    a = jnp.asarray(np.einsum("bij,bkj->bik", h, h)
+                    + np.eye(6, dtype=np.float32) * 1000.0)
+    b = jnp.asarray(rng.normal(size=(64, 6)).astype(np.float32))
+    x_ldlt = pipeline._ldlt_solve_6x6(a, b)
+    x_lu = jnp.linalg.solve(a, b[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x_ldlt), np.asarray(x_lu),
+                               rtol=2e-4, atol=1e-6)
