@@ -696,9 +696,10 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
     cfg = pcfg.cfg
     fu, fv, ppu, ppv = intr
 
-    def per_shard(images, cam2ref, model, pose, hist_f, hist_b, *extra):
+    def per_shard(images, cam2ref, model, pose, hist_f, hist_b, handle_occ,
+                  *extra):
         # Local shapes: images (b, c, H, W, 3); cam2ref (c, 4, 4);
-        # pose (b, 4, 4); hist_* (b, c, N).
+        # pose (b, 4, 4); hist_* (b, c, N); handle_occ (b,) bool.
         extra = list(extra)
         depth_images = depth_scale = depth_model = None
         scene_geom = occluder_poses = None
@@ -730,7 +731,10 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
             lambda a: jnp.repeat(a, c, axis=0), scene_geom)
             if scene_geom is not None else None)
         render_scene = pcfg.needs_scene_render and scene_geom_f is not None
-        handle_occlusions = jnp.broadcast_to(jnp.asarray(True), (b * c,))
+        # Per-body occlusion-handling flag (region_modality.h:442: disabled for
+        # the first n_unoccluded_iterations after StartModality), replicated to
+        # every camera of the body.
+        handle_occlusions = jnp.repeat(handle_occ, c)
 
         def cam_poses(pose):
             # (b, c, 4, 4) -> flat (b*c, 4, 4): body pose in each camera's frame.
@@ -870,7 +874,7 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
     spec_r = P()
     model_spec = RegionModelArrays(*([spec_b] * len(RegionModelArrays._fields)))
 
-    in_specs = [spec_bc, spec_c, model_spec, spec_b, spec_bc, spec_bc]
+    in_specs = [spec_bc, spec_c, model_spec, spec_b, spec_bc, spec_bc, spec_b]
     if with_depth:
         depth_model_spec = DepthModelArrays(
             *([spec_b] * len(DepthModelArrays._fields)))
@@ -892,10 +896,12 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
 
     @jax.jit
     def cycle(images, cam2ref_poses, model, state: MultiCameraState,
-              *extra) -> MultiCameraState:
+              *extra, handle_occlusions=None) -> MultiCameraState:
+        if handle_occlusions is None:
+            handle_occlusions = jnp.ones((images.shape[0],), bool)
         pose, hf, hb = sharded(images, cam2ref_poses, model,
                                state.body2reference_pose, state.histogram_f,
-                               state.histogram_b, *extra)
+                               state.histogram_b, handle_occlusions, *extra)
         return MultiCameraState(pose, hf, hb)
 
     return cycle
@@ -961,7 +967,8 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
     cfg = pcfg.cfg
     fu, fv, ppu, ppv = intr
 
-    def per_shard(images, cam2ref, model, kin, jp, hist_f, hist_b, *extra):
+    def per_shard(images, cam2ref, model, kin, jp, hist_f, hist_b, handle_occ,
+                  *extra):
         depth_images = depth_scale = depth_model = None
         if with_depth:
             depth_images, depth_scale, depth_model = extra[:3]
@@ -970,8 +977,10 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
         height, width = images.shape[2], images.shape[3]
         n_lines = jnp.int32(cfg.n_lines_max)
         ref2cam = jnp.linalg.inv(cam2ref)
-        handle_occlusions = jnp.broadcast_to(jnp.asarray(True), (s * nl * c,))
         n = s * nl * c
+        # Per-(structure, link) occlusion-handling flag (region_modality.h:442),
+        # replicated per camera; flat order matches images_f: (s, l, cam).
+        handle_occlusions = jnp.repeat(handle_occ.reshape(s * nl), c)
 
         # images per (structure, link, camera) -> flat (s*nl*c, H, W, 3)
         images_f = jnp.repeat(images, nl, axis=0).reshape((n,) + images.shape[2:])
@@ -1077,7 +1086,9 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
     kin_spec = kin_ops.KinematicModel(
         *([spec_s] * len(kin_ops.KinematicModel._fields)))
 
-    in_specs = [spec_sc, spec_c, model_spec, kin_spec, spec_s, spec_slc, spec_slc]
+    spec_sl = P("data", None)
+    in_specs = [spec_sc, spec_c, model_spec, kin_spec, spec_s, spec_slc,
+                spec_slc, spec_sl]
     if with_depth:
         depth_model_spec = DepthModelArrays(
             *([spec_s] * len(DepthModelArrays._fields)))
@@ -1093,10 +1104,13 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
 
     @jax.jit
     def cycle(images, cam2ref_poses, model, kin,
-              state: KinematicMultiCameraState, *extra) -> KinematicMultiCameraState:
+              state: KinematicMultiCameraState, *extra,
+              handle_occlusions=None) -> KinematicMultiCameraState:
+        if handle_occlusions is None:
+            handle_occlusions = jnp.ones(state.joint2parent.shape[:2], bool)
         jp, hf, hb = sharded(images, cam2ref_poses, model, kin,
                              state.joint2parent, state.histogram_f,
-                             state.histogram_b, *extra)
+                             state.histogram_b, handle_occlusions, *extra)
         return KinematicMultiCameraState(jp, hf, hb)
 
     return cycle

@@ -200,6 +200,28 @@ def test_sharded_cycle_full_feature_equivalence(batch, tmp_path):
     np.testing.assert_allclose(np.asarray(out_c.histogram_f[:, 0]),
                                np.asarray(out_d.histogram_f), rtol=0, atol=1e-6)
 
+    # Starting protocol: per-body handle_occlusions=False (the first
+    # n_unoccluded_iterations cycles after StartModality, region_modality.h:442)
+    # must flow through the sharded cycle and match the single-chip path.
+    ho = jnp.asarray([False, True, False, True])
+    out_e = pipeline.make_sharded_cycle(
+        pcfg, mesh_b, intr, depth_intr=intr, with_depth=True, with_scene=True,
+        with_texture=True)(
+        images1_c1, cam2ref[:1], model_b, state_c1, depth1_c1, depth_scale,
+        dmodel_b, scene_geom, occluder_poses, tex_c1, handle_occlusions=ho)
+    out_f = pipeline.tracking_cycle_rgbd(
+        pcfg, intr, intr, depth_scale, images1[:, 0], depth1[:, 0], model_b,
+        dmodel_b, flat_state, scene_geom=scene_geom,
+        occluder_poses=occluder_poses, handle_occlusions=ho,
+        texture_points=jax.tree_util.tree_map(lambda a: a[:, 0], tex))
+    np.testing.assert_allclose(np.asarray(out_e.body2reference_pose),
+                               np.asarray(out_f.body2camera_pose),
+                               rtol=0, atol=1e-5)
+    # Disabling occlusion handling must actually change the result for the
+    # occluded bodies (otherwise the flag is not reaching the kernels).
+    assert not np.allclose(np.asarray(out_e.body2reference_pose),
+                           np.asarray(out_c.body2reference_pose), atol=1e-7)
+
 
 def test_sharded_kinematic_cycle_equivalence(tmp_path):
     """Sharded multi-camera kinematic RGB-D cycle: (2,2) mesh == (1,1) mesh, and
@@ -292,7 +314,8 @@ def test_sharded_kinematic_cycle_equivalence(tmp_path):
         standard_deviations=(5.0, 1.5), n_corr_iterations=3,
         n_update_iterations=2, use_depth=True,
         considered_distances=(0.03, 0.02),
-        depth_standard_deviations=(0.05, 0.03))
+        depth_standard_deviations=(0.05, 0.03),
+        depth_measure_occlusions=True)
     pcfg = pcfg._replace(depth_cfg=pcfg.depth_cfg._replace(n_points_max=64))
     intr = (np.float32(intr_t.fu), np.float32(intr_t.fv),
             np.float32(intr_t.ppu), np.float32(intr_t.ppv))
@@ -339,3 +362,19 @@ def test_sharded_kinematic_cycle_equivalence(tmp_path):
                                np.asarray(out_d.joint2parent), rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_c.histogram_f[:, :, 0]),
                                np.asarray(out_d.histogram_f), rtol=0, atol=1e-6)
+
+    # Starting protocol through the sharded kinematic cycle: per-(structure,
+    # link) handle_occlusions=False must match single-chip
+    # (region_modality.h:442; measured depth occlusions are enabled above so the
+    # flag is live).
+    ho = jnp.asarray([[False, True], [True, False]])
+    out_e = pipeline.make_sharded_kinematic_cycle(
+        pcfg, mesh_b, intr, depth_intr=intr, with_depth=True)(
+        images1[:, :1], cam2ref[:1], arrays, kin, mc_state_c1,
+        depth1[:, :1], depth_sc, darrays, handle_occlusions=ho)
+    out_f = pipeline.tracking_cycle_kinematic(
+        pcfg, intr, images1[:, 0], arrays, kin, kstate0,
+        handle_occlusions=ho.reshape(-1), depth_intr=intr,
+        depth_scale=depth_sc, depth_images=depth1[:, 0], depth_model=darrays)
+    np.testing.assert_allclose(np.asarray(out_e.joint2parent),
+                               np.asarray(out_f.joint2parent), rtol=0, atol=1e-5)
