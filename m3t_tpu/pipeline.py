@@ -64,6 +64,8 @@ class RegionModelArrays(NamedTuple):
     background_distances: jnp.ndarray  # (B, V, L)
     measured_depth_offsets: jnp.ndarray  # (B, V, L)
     modeled_depth_offsets: jnp.ndarray  # (B, V, L)
+    contour_lengths: jnp.ndarray  # (B, V) — per-view silhouette contour length
+    max_contour_length: jnp.ndarray  # (B,)
 
     @staticmethod
     def from_models(models, n_lines: int, measured_offset_id: int = 5,
@@ -93,6 +95,10 @@ class RegionModelArrays(NamedTuple):
                 [pad(m.depth_offsets[:, :n_lines, measured_offset_id]) for m in models])),
             modeled_depth_offsets=jnp.asarray(np.stack(
                 [pad(m.depth_offsets[:, :n_lines, modeled_offset_id]) for m in models])),
+            contour_lengths=jnp.asarray(np.stack(
+                [pad(np.asarray(m.contour_lengths, np.float32)) for m in models])),
+            max_contour_length=jnp.asarray(
+                np.array([m.max_contour_length for m in models], np.float32)),
         )
 
 
@@ -171,6 +177,11 @@ class PipelineConfig(NamedTuple):
     z_min: float = 0.02
     z_max: float = 10.0
     occlusion_raster_chunk: int = 64
+    # Adaptive coverage (region_modality.cpp:417-429): scale the traced line
+    # count per body by the closest view's contour length, relative to
+    # reference_contour_length (if > 0) or the model's max contour length.
+    use_adaptive_coverage: bool = False
+    reference_contour_length: float = 0.0
     # Point-query occlusion evaluation (default): the validity checks sample only
     # ~50 focused pixels per line/point, so instead of rasterizing (S, S) scene
     # images every correspondence iteration the scene's triangle coefficients are
@@ -202,13 +213,43 @@ class PipelineConfig(NamedTuple):
         return region_fast.round_up(max(self.cfg.n_lines_max, 1), 128)
 
 
-def _select_view_cl(model: RegionModelArrays, pose) -> ViewPointsCL:
-    """On-device GetClosestView for one body: argmax dot + gather
+def _view_index(orientations, pose):
+    """On-device GetClosestView index for one body: argmax dot
     (region_model.cpp:105-127)."""
     t = pose[:3, 3]
     norm = jnp.linalg.norm(t)
     orientation = pose[:3, :3].T @ (t / jnp.where(norm > 0, norm, 1.0))
-    idx = jnp.argmax(model.orientations @ orientation)
+    return jnp.argmax(orientations @ orientation)
+
+
+def _adaptive_n_lines(pcfg: PipelineConfig, model: RegionModelArrays, poses):
+    """Per-body traced line count, scaled by the closest view's contour length
+    when adaptive coverage is on (region_modality.cpp:417-429: int truncation of
+    n_lines_max * ratio, clamped to the available model points)."""
+    cfg = pcfg.cfg
+    b = poses.shape[0]
+    if not pcfg.use_adaptive_coverage:
+        return jnp.full((b,), cfg.n_lines_max, jnp.int32)
+
+    def one(m, p):
+        idx = _view_index(m.orientations, p)
+        contour_length = m.contour_lengths[idx]
+        if pcfg.reference_contour_length > 0.0:
+            ratio = jnp.minimum(
+                1.0, contour_length / jnp.float32(pcfg.reference_contour_length))
+        else:
+            mcl = m.max_contour_length
+            ratio = jnp.where(mcl > 0, contour_length / jnp.where(mcl > 0, mcl, 1.0),
+                              1.0)
+        return (jnp.float32(cfg.n_lines_max) * ratio).astype(jnp.int32)
+
+    n = jax.vmap(one)(model, poses)
+    return jnp.minimum(n, jnp.int32(model.centers.shape[-1]))
+
+
+def _select_view_cl(model: RegionModelArrays, pose) -> ViewPointsCL:
+    """On-device GetClosestView for one body: index + gather."""
+    idx = _view_index(model.orientations, pose)
     return ViewPointsCL(
         center_f_body=model.centers[idx],
         normal_f_body=model.normals[idx],
@@ -220,10 +261,7 @@ def _select_view_cl(model: RegionModelArrays, pose) -> ViewPointsCL:
 
 
 def _select_depth_view(model: DepthModelArrays, pose) -> DepthViewPoints:
-    t = pose[:3, 3]
-    norm = jnp.linalg.norm(t)
-    orientation = pose[:3, :3].T @ (t / jnp.where(norm > 0, norm, 1.0))
-    idx = jnp.argmax(model.orientations @ orientation)
+    idx = _view_index(model.orientations, pose)
     return DepthViewPoints(
         center_f_body=model.centers[idx],
         normal_f_body=model.normals[idx],
@@ -327,14 +365,16 @@ def _region_terms(pcfg: PipelineConfig, intr, scale, points, poses, n_lines,
     fu, fv, ppu, ppv = intr
     cfg = pcfg.cfg
     kp = region_fast.round_up(cfg.line_length_in_segments * scale, 8)
+    n_lines = jnp.broadcast_to(jnp.asarray(n_lines, jnp.int32),
+                               (poses.shape[0],))
     geo = jax.vmap(
-        lambda p, pose, cu, cv, rc, mo, mdo, ho: region_fast.line_geometry(
-            cfg, scale, p, n_lines, pose, fu, fv, ppu, ppv, width, height,
+        lambda p, pose, cu, cv, rc, mo, mdo, ho, nl: region_fast.line_geometry(
+            cfg, scale, p, nl, pose, fu, fv, ppu, ppv, width, height,
             cu, cv, pcfg.crop_size, pcfg.lp, region_check=rc,
             measured_occlusion=mo, modeled_occlusion=mdo,
             handle_occlusions=ho)
     )(points, poses, corner_u, corner_v, region_check, measured_occlusion,
-      modeled_occlusion, handle_occlusions)
+      modeled_occlusion, handle_occlusions, n_lines)
     samples = region_fast.sample_lines(geo.params, bin_crop, bin_cropT, rtab, kp)
     lines = jax.vmap(
         lambda g, s: region_fast.lines_from_samples(cfg, scale, g, s)
@@ -348,11 +388,13 @@ def _histogram_memories(pcfg: PipelineConfig, intr, points, poses, n_lines,
     fu, fv, ppu, ppv = intr
     cfg = pcfg.cfg
     lp2 = 2 * pcfg.lp
+    n_lines = jnp.broadcast_to(jnp.asarray(n_lines, jnp.int32),
+                               (poses.shape[0],))
     params, mask = jax.vmap(
-        lambda p, pose, cu, cv: region_fast.histogram_walk_geometry(
-            cfg, p, n_lines, pose, fu, fv, ppu, ppv, width, height,
+        lambda p, pose, cu, cv, nl: region_fast.histogram_walk_geometry(
+            cfg, p, nl, pose, fu, fv, ppu, ppv, width, height,
             cu, cv, pcfg.crop_size, lp2)
-    )(points, poses, corner_u, corner_v)
+    )(points, poses, corner_u, corner_v, n_lines)
     max_steps = int(np.ceil(cfg.max_considered_line_length)) + 1
     kp2 = region_fast.round_up(max_steps, 8)
     bins = region_fast.sample_lines(params, bin_crop, bin_cropT, rtab, kp2,
@@ -447,7 +489,6 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
     fu, fv, ppu, ppv = intr
     planar_shape = _planar_u8(images).shape
     height, width = planar_shape[2], planar_shape[3]
-    n_lines = jnp.int32(cfg.n_lines_max)
     use_depth = pcfg.use_depth and depth_images is not None
     render_scene = pcfg.needs_scene_render and scene_geom is not None
     if handle_occlusions is None:
@@ -501,6 +542,7 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
         scale, std = pcfg.iteration_scale(corr_iteration)
         rend = scene_render(pose) if render_scene else None
         points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, pose)
+        n_lines = _adaptive_n_lines(pcfg, model, pose)
         region_check, measured, modeled = region_occlusion_inputs(rend, points,
                                                                  pose)
         lines = _region_terms(pcfg, intr, scale, points, pose, n_lines,
@@ -567,6 +609,7 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
 
     # CalculateResults: online histogram adaptation (tracker.cpp:503-517).
     points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, pose)
+    n_lines = _adaptive_n_lines(pcfg, model, pose)
     mem_f, mem_b = _histogram_memories(pcfg, intr, points, pose, n_lines,
                                        bin_crop, bin_cropT, rtab,
                                        corner_u, corner_v, width, height)
@@ -631,7 +674,7 @@ def initialize_histograms(pcfg: PipelineConfig, intr, images, model: RegionModel
     rtab = jnp.zeros((b, n // 128, 128), jnp.float32)
     points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, poses)
     mem_f, mem_b = _histogram_memories(pcfg, intr, points, poses,
-                                       jnp.int32(cfg.n_lines_max),
+                                       _adaptive_n_lines(pcfg, model, poses),
                                        bin_crop, bin_cropT, rtab,
                                        corner_u, corner_v, width, height)
     uniform = jnp.full((b, n), 1.0 / n, jnp.float32)
@@ -714,7 +757,6 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
             texture_points = extra[0]
         b, c = images.shape[0], images.shape[1]
         height, width = images.shape[2], images.shape[3]
-        n_lines = jnp.int32(cfg.n_lines_max)
         ref2cam = jnp.linalg.inv(cam2ref)
 
         flat = lambda x: x.reshape((b * c,) + x.shape[2:])
@@ -773,6 +815,7 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
                 region_check, modeled = _scene_region_inputs(
                     pcfg, rend, scene_geom_f)
             points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model_f, pose_cam)
+            n_lines = _adaptive_n_lines(pcfg, model_f, pose_cam)
             if pcfg.region_measure_occlusions and depth_images_f is not None:
                 dfu, dfv, dppu, dppv = depth_intr
                 bc_ = lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32),
@@ -858,6 +901,7 @@ def make_sharded_cycle(pcfg: PipelineConfig, mesh, intr, depth_intr=None,
 
         pose_cam = cam_poses(pose)
         points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model_f, pose_cam)
+        n_lines = _adaptive_n_lines(pcfg, model_f, pose_cam)
         mem_f, mem_b = _histogram_memories(pcfg, intr, points, pose_cam, n_lines,
                                            bin_crop, bin_cropT, rtab,
                                            corner_u, corner_v, width, height)
@@ -975,7 +1019,6 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
         s, c = images.shape[0], images.shape[1]
         nl = kin.parent.shape[1]
         height, width = images.shape[2], images.shape[3]
-        n_lines = jnp.int32(cfg.n_lines_max)
         ref2cam = jnp.linalg.inv(cam2ref)
         n = s * nl * c
         # Per-(structure, link) occlusion-handling flag (region_modality.h:442),
@@ -1011,6 +1054,7 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
             scale, std = pcfg.iteration_scale(corr_iteration)
             pose_cam = cam_poses(jp)
             points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model_f, pose_cam)
+            n_lines = _adaptive_n_lines(pcfg, model_f, pose_cam)
             lines = _region_terms(pcfg, intr, scale, points, pose_cam, n_lines,
                                   bin_crop, bin_cropT, rtab, corner_u, corner_v,
                                   width, height,
@@ -1067,7 +1111,9 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
 
         pose_cam = cam_poses(jp)
         points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model_f, pose_cam)
-        mem_f, mem_b = _histogram_memories(pcfg, intr, points, pose_cam, n_lines,
+        mem_f, mem_b = _histogram_memories(pcfg, intr, points, pose_cam,
+                                           _adaptive_n_lines(pcfg, model_f,
+                                                             pose_cam),
                                            bin_crop, bin_cropT, rtab,
                                            corner_u, corner_v, width, height)
         hist_f_l = jax.vmap(lambda h_, m_: hist_ops.calculate_histogram(
@@ -1173,7 +1219,6 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
     s, nl = kin.parent.shape[0], kin.parent.shape[1]
     planar = _planar_u8(images)
     height, width = planar.shape[2], planar.shape[3]
-    n_lines = jnp.int32(cfg.n_lines_max)
     render_scene = pcfg.needs_scene_render and scene_geom is not None
     use_depth = pcfg.use_depth and depth_images is not None
     if handle_occlusions is None:
@@ -1222,6 +1267,7 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
             rend = scene_render(b2c)
             region_check, modeled = _scene_region_inputs(pcfg, rend, scene_geom)
         points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, pose_flat)
+        n_lines = _adaptive_n_lines(pcfg, model, pose_flat)
         lines = _region_terms(pcfg, intr, scale, points, pose_flat, n_lines,
                               bin_crop, bin_cropT, rtab, corner_u, corner_v,
                               width, height, region_check=region_check,
@@ -1276,7 +1322,8 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
 
     _, pose_flat = _kinematic_flat_poses(kin, jp)
     points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, pose_flat)
-    mem_f, mem_b = _histogram_memories(pcfg, intr, points, pose_flat, n_lines,
+    mem_f, mem_b = _histogram_memories(pcfg, intr, points, pose_flat,
+                                       _adaptive_n_lines(pcfg, model, pose_flat),
                                        bin_crop, bin_cropT, rtab,
                                        corner_u, corner_v, width, height)
     hist_f = jax.vmap(lambda h, m: hist_ops.calculate_histogram(

@@ -143,6 +143,90 @@ def test_sharded_cycle_equals_unsharded(batch):
                                np.asarray(out_d.histogram_f), rtol=0, atol=1e-6)
 
 
+def test_adaptive_n_lines_fused_matches_host(tmp_path):
+    """Adaptive coverage (region_modality.cpp:417-429) on the fused path: the
+    per-body traced line count equals the host RegionModality's for a body whose
+    views have strongly varying contour length, in both the max-contour-length
+    and reference-contour-length normalizations."""
+    from m3t_tpu.body import Body
+    from m3t_tpu.common import np_pose
+    from m3t_tpu.region_modality import RegionModality
+    from m3t_tpu.region_model import RegionModel
+
+    verts, tris = fixtures.icosphere(2, 0.04)
+    verts = (verts * np.array([3.0, 1.0, 1.0])).astype(np.float32)
+    body = Body("adaptive_ellipsoid", vertices=verts, triangles=tris)
+    assert body.SetUp()
+    model = RegionModel("adaptive_rm", body, str(tmp_path / "arm.npz"),
+                        n_divides=1, n_points=64, image_size=200)
+    assert model.SetUp()
+    cls = np.asarray(model.contour_lengths)
+    assert cls.max() / cls.min() > 1.3, "fixture should vary contour length"
+
+    poses = []
+    rng_l = np.random.default_rng(3)
+    for k in range(12):
+        pose = np_pose(translation=[0.0, 0.0, 0.6])
+        axis = rng_l.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        angle = 0.5 * k
+        from scipy.spatial.transform import Rotation
+        pose[:3, :3] = Rotation.from_rotvec(angle * axis).as_matrix()
+        poses.append(pose.astype(np.float32))
+    poses_b = jnp.asarray(np.stack(poses))
+    arrays = pipeline.RegionModelArrays.from_models([model] * len(poses), 64)
+
+    camera = fixtures.make_color_camera(body, [np.eye(4, dtype=np.float32)])
+    modality = RegionModality("adaptive_mod", body, camera, model)
+    modality.n_lines_max = 64
+    modality.use_adaptive_coverage = True
+    assert modality.SetUp()
+
+    for ref_len in (0.0, float(np.median(cls))):
+        pcfg = _pcfg()._replace(use_adaptive_coverage=True,
+                                reference_contour_length=ref_len)
+        fused = np.asarray(pipeline._adaptive_n_lines(pcfg, arrays, poses_b))
+        modality.reference_contour_length = ref_len
+        host = []
+        for pose in poses:
+            body.set_body2world_pose(pose)
+            modality._fetch_view()
+            host.append(modality._n_lines)
+        host = np.asarray(host)
+        # f32-vs-f64 ratio rounding at an int boundary may differ by one line.
+        assert np.max(np.abs(fused - host)) <= 1, (ref_len, fused, host)
+        assert host.min() < host.max(), "line count should vary across views"
+
+
+def test_adaptive_coverage_cycle_tracks(batch):
+    """Full fused cycle with adaptive coverage on: still converges, and the
+    traced line count actually changes the result vs. non-adaptive."""
+    intr_t, bodies, models, gt_poses, frames = batch
+    intr = (np.float32(intr_t.fu), np.float32(intr_t.fv),
+            np.float32(intr_t.ppu), np.float32(intr_t.ppv))
+    model = pipeline.RegionModelArrays.from_models(models, 64)
+    # Sphere views all share (nearly) the same contour length, so force variation
+    # through reference_contour_length > contour -> ratio < 1.
+    ref_len = float(np.asarray(model.max_contour_length).max()) * 1.5
+    pcfg = _pcfg()._replace(use_adaptive_coverage=True,
+                            reference_contour_length=ref_len)
+
+    state = pipeline.initialize_histograms(
+        pcfg, intr, jnp.asarray(frames[0]), model, jnp.asarray(gt_poses[0]))
+    state_na = pipeline.initialize_histograms(
+        _pcfg(), intr, jnp.asarray(frames[0]), model, jnp.asarray(gt_poses[0]))
+    for t in range(1, len(frames)):
+        state = pipeline.tracking_cycle(pcfg, intr, jnp.asarray(frames[t]),
+                                        model, state)
+        state_na = pipeline.tracking_cycle(_pcfg(), intr, jnp.asarray(frames[t]),
+                                           model, state_na)
+    est = np.asarray(state.body2camera_pose)
+    err = np.linalg.norm(est[:, :3, 3] - gt_poses[-1][:, :3, 3], axis=1)
+    assert np.all(err < 0.005), f"adaptive translation errors {err}"
+    assert not np.allclose(est, np.asarray(state_na.body2camera_pose),
+                           atol=1e-7), "adaptive coverage should be live"
+
+
 def test_ldlt_solve_6x6_matches_linalg_solve(rng):
     """pipeline._ldlt_solve_6x6 == jnp.linalg.solve on SPD Tikhonov systems."""
     import jax.numpy as jnp
