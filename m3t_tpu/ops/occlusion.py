@@ -73,16 +73,18 @@ class FocusedRender(NamedTuple):
 
 
 def build_scene_geometry(scenes, referenced=None, max_triangles: int | None = None,
-                         decimate_to: int | None = None) -> SceneGeometry:
+                         decimate_to: int | None = None,
+                         tracked=None) -> SceneGeometry:
     """Stack host scenes into a :class:`SceneGeometry`.
 
-    scenes: list (length B) of lists of Body objects; index 0 must be the tracked
-    body (its pose slot is filled from TrackingState each cycle).  ``referenced``
-    optionally lists, per scene, the body indices used for the crop computation
-    (default: all bodies, matching the reference tests which reference occluders
-    too).  ``decimate_to`` clusters each mesh to at most that many triangles
-    before upload (renderer_geometry.py keeps decimated occlusion meshes for the
-    same reason).
+    scenes: list (length B) of lists of Body objects; the tracked body (whose
+    pose slot is filled from TrackingState each cycle and whose body/region ids
+    feed the silhouette checks) is index 0 by default, or ``tracked[i]`` when
+    given.  ``referenced`` optionally lists, per scene, the body indices used
+    for the crop computation (default: all bodies, matching the reference tests
+    which reference occluders too).  ``decimate_to`` clusters each mesh to at
+    most that many triangles before upload (renderer_geometry.py keeps decimated
+    occlusion meshes for the same reason).
     """
     b = len(scenes)
     tri_list, owner_list, id_list, cull_list = [], [], [], []
@@ -134,8 +136,12 @@ def build_scene_geometry(scenes, referenced=None, max_triangles: int | None = No
             ref_radius[i, j] = 0.5 * float(scene[o].maximum_body_diameter)
             ref_valid[i, j] = True
 
-    body_id = np.asarray([int(s[0].body_id) for s in scenes], np.int32)
-    region_id = np.asarray([int(s[0].region_id) for s in scenes], np.int32)
+    if tracked is None:
+        tracked = [0] * b
+    body_id = np.asarray([int(s[tracked[i]].body_id)
+                          for i, s in enumerate(scenes)], np.int32)
+    region_id = np.asarray([int(s[tracked[i]].region_id)
+                            for i, s in enumerate(scenes)], np.int32)
     return SceneGeometry(
         triangles=jnp.asarray(triangles), owner=jnp.asarray(owner),
         sil_id=jnp.asarray(sil_id), tri_valid=jnp.asarray(tri_valid),
@@ -143,6 +149,29 @@ def build_scene_geometry(scenes, referenced=None, max_triangles: int | None = No
         ref_owner=jnp.asarray(ref_owner), ref_radius=jnp.asarray(ref_radius),
         ref_valid=jnp.asarray(ref_valid), body_id=jnp.asarray(body_id),
         region_id=jnp.asarray(region_id))
+
+
+def build_kinematic_scene_geometry(structures, extras=None, referenced=None,
+                                   max_triangles: int | None = None,
+                                   decimate_to: int | None = None) -> SceneGeometry:
+    """Per-link scenes for the fused kinematic cycles.
+
+    structures: list (length S) of lists of NL link bodies (link-major order
+    matching pipeline.KinematicTrackingState).  Builds S*NL scenes — scene
+    s*NL + l tracks link l — whose pose slots 0..NL-1 are the structure's links
+    (so the links occlude EACH OTHER, the dominant occlusion source in
+    articulated scenes, tracker.cpp:448-451 + Mb-ICG) and slots NL.. are shared
+    extra occluder bodies posed via ``extra_occluder_poses``.
+    """
+    extras = list(extras or [])
+    scenes, tracked = [], []
+    for links in structures:
+        for l in range(len(links)):
+            scenes.append(list(links) + extras)
+            tracked.append(l)
+    return build_scene_geometry(scenes, referenced=referenced,
+                                max_triangles=max_triangles,
+                                decimate_to=decimate_to, tracked=tracked)
 
 
 def _crop_params(ref_centers, ref_radius, ref_valid, fu, fv, ppu, ppv,

@@ -982,7 +982,9 @@ class KinematicMultiCameraState(NamedTuple):
 
 
 def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
-                                 depth_intr=None, with_depth: bool = False):
+                                 depth_intr=None, with_depth: bool = False,
+                                 with_scene: bool = False,
+                                 with_texture: bool = False):
     """Multi-camera articulated tracking over a (data, camera) mesh.
 
     The full M3T flagship configuration: kinematic structures sharded across the
@@ -991,7 +993,10 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
     are psum-reduced over ICI before the batched adjoint-chain KKT solve
     (ops/kinematics.py update_structures) — one Link summing modalities from
     several cameras, link.cpp:184-193, scaled out.  ``with_depth`` adds per-link
-    ICG depth fusion with the Pallas window presampling.
+    ICG depth fusion with the Pallas window presampling; ``with_scene`` adds
+    per-iteration link-on-link occlusion evaluation (modeled occlusions /
+    region checking / depth silhouette checks per the PipelineConfig flags,
+    tracker.cpp:448-451); ``with_texture`` adds per-link ICG+ texture GN terms.
 
     Inputs of the returned function:
       images: (S, C, H, W, 3) uint8, sharded ("data", "camera")
@@ -1003,7 +1008,12 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
       state: KinematicMultiCameraState (joint2parent sharded ("data",),
              histograms sharded ("data", None, "camera"))
       with_depth adds (depth_images (S, C, Hd, Wd) u16, depth_scale scalar,
-      depth_model DepthModelArrays sharded ("data",)).
+      depth_model DepthModelArrays sharded ("data",)); with_scene adds
+      (scene_geom SceneGeometry with B == S * NL per-link scenes
+      (occlusion_ops.build_kinematic_scene_geometry) sharded ("data",),
+      extra_occluder_poses (S, NE, 4, 4) in the REFERENCE frame sharded
+      ("data",)); with_texture adds (texture_points TexturePoints with leading
+      (S, NL, C) axes sharded ("data", None, "camera")).
     """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
@@ -1013,9 +1023,18 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
 
     def per_shard(images, cam2ref, model, kin, jp, hist_f, hist_b, handle_occ,
                   *extra):
+        extra = list(extra)
         depth_images = depth_scale = depth_model = None
+        scene_geom = extra_occluder_poses = None
+        texture_points = None
         if with_depth:
             depth_images, depth_scale, depth_model = extra[:3]
+            extra = extra[3:]
+        if with_scene:
+            scene_geom, extra_occluder_poses = extra[:2]
+            extra = extra[2:]
+        if with_texture:
+            texture_points = extra[0]
         s, c = images.shape[0], images.shape[1]
         nl = kin.parent.shape[1]
         height, width = images.shape[2], images.shape[3]
@@ -1035,11 +1054,32 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
                 (n,) + depth_images.shape[2:])
             depth_model_f = jax.tree_util.tree_map(
                 lambda a: jnp.repeat(a, c, axis=0), depth_model)
+        scene_geom_f = (jax.tree_util.tree_map(
+            lambda a: jnp.repeat(a, c, axis=0), scene_geom)
+            if scene_geom is not None else None)
+        render_scene = pcfg.needs_scene_render and scene_geom_f is not None
+        if texture_points is not None:
+            texture_points_f = jax.tree_util.tree_map(
+                lambda a: a.reshape((n,) + a.shape[3:]), texture_points)
 
         def cam_poses(jp):
             b2c_ref = jax.vmap(kin_ops.forward_kinematics)(kin, jp)  # (s, nl, 4, 4)
             pose = jnp.einsum("cij,sljk->slcik", ref2cam, b2c_ref)
             return pose.reshape(n, 4, 4)
+
+        def cam_scene_poses(jp):
+            # Per-link scene: slots 0..NL-1 are the structure's links (they
+            # occlude each other) + NE extra occluders, mapped into each
+            # camera's frame; flat (n, NO, 4, 4) in (s, l, cam) order.
+            b2c_ref = jax.vmap(kin_ops.forward_kinematics)(kin, jp)
+            scene = jnp.broadcast_to(b2c_ref[:, None], (s, nl, nl, 4, 4))
+            if extra_occluder_poses is not None:
+                ne = extra_occluder_poses.shape[1]
+                extra_p = jnp.broadcast_to(extra_occluder_poses[:, None],
+                                           (s, nl, ne, 4, 4))
+                scene = jnp.concatenate([scene, extra_p], axis=2)
+            scene_cam = jnp.einsum("cij,slojk->slcoik", ref2cam, scene)
+            return scene_cam.reshape(n, -1, 4, 4)
 
         pose_cam = cam_poses(jp)
         bin_crop, bin_cropT, corner_u, corner_v = _prepare_crops(
@@ -1053,14 +1093,24 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
         for corr_iteration in range(pcfg.n_corr_iterations):
             scale, std = pcfg.iteration_scale(corr_iteration)
             pose_cam = cam_poses(jp)
+            region_check = modeled = None
+            rend = None
+            if render_scene:
+                rend = _render_scene_for(pcfg, scene_geom_f,
+                                         cam_scene_poses(jp), intr,
+                                         width, height)
+                region_check, modeled = _scene_region_inputs(
+                    pcfg, rend, scene_geom_f)
             points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model_f, pose_cam)
             n_lines = _adaptive_n_lines(pcfg, model_f, pose_cam)
             lines = _region_terms(pcfg, intr, scale, points, pose_cam, n_lines,
                                   bin_crop, bin_cropT, rtab, corner_u, corner_v,
-                                  width, height,
+                                  width, height, region_check=region_check,
+                                  modeled_occlusion=modeled,
                                   handle_occlusions=handle_occlusions)
             if with_depth:
                 cd, depth_std = pcfg.iteration_depth(corr_iteration)
+                d_modeled, d_sil = _scene_depth_inputs(pcfg, rend, scene_geom_f)
                 dview = jax.vmap(lambda m, p: _select_depth_view(m, p))(
                     depth_model_f, pose_cam)
                 dpre = depth_fast.presample_windows(
@@ -1075,16 +1125,21 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
                         dfu, dfv, dppu, dppv, depth_images_f.shape[2],
                         depth_images_f.shape[1])
                 depth_points = jax.vmap(
-                    lambda dimg, dpv, p, pre, ho, mpre:
+                    lambda dimg, dpv, p, dmo, dsc, pre, ho, mpre:
                     depth_fn.calculate_correspondences(
                         pcfg.depth_cfg, cd, dpv,
                         jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
                         dfu, dfv, dppu, dppv, depth_images_f.shape[2],
                         depth_images_f.shape[1], depth_scale, ho,
                         measure_occlusions=pcfg.depth_measure_occlusions,
+                        modeled_occlusion=dmo, silhouette_check=dsc,
                         presampled=pre, measured_presampled=mpre)
-                )(depth_images_f, dview, pose_cam, dpre, handle_occlusions,
-                  mo_pre)
+                )(depth_images_f, dview, pose_cam, d_modeled, d_sil, dpre,
+                  handle_occlusions, mo_pre)
+            if pcfg.use_texture and texture_points is not None:
+                tex_std = pcfg.texture_standard_deviations[
+                    min(corr_iteration,
+                        len(pcfg.texture_standard_deviations) - 1)]
             for update_iteration in range(pcfg.n_update_iterations):
                 pose_cam = cam_poses(jp)
                 g_c, h_c = jax.vmap(
@@ -1099,6 +1154,14 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
                     )(depth_points, pose_cam)
                     g_c = g_c + dg
                     h_c = h_c + dh
+                if pcfg.use_texture and texture_points is not None:
+                    tg, th = jax.vmap(
+                        lambda tp, p: texture_fn.calculate_gradient_and_hessian(
+                            tp, p, fu, fv, ppu, ppv, tex_std,
+                            pcfg.tukey_norm_constant)
+                    )(texture_points_f, pose_cam)
+                    g_c = g_c + tg
+                    h_c = h_c + th
                 # Body-frame terms sum over local cameras, then over the camera
                 # mesh axis (modality.h:135-136).
                 g = jnp.sum(g_c.reshape(s, nl, c, 6), axis=2)
@@ -1139,6 +1202,12 @@ def make_sharded_kinematic_cycle(pcfg: PipelineConfig, mesh, intr,
         depth_model_spec = DepthModelArrays(
             *([spec_s] * len(DepthModelArrays._fields)))
         in_specs += [spec_sc, spec_r, depth_model_spec]
+    if with_scene:
+        scene_spec = occlusion_ops.SceneGeometry(
+            *([spec_s] * len(occlusion_ops.SceneGeometry._fields)))
+        in_specs += [scene_spec, spec_s]
+    if with_texture:
+        in_specs += [TexturePoints(*([spec_slc] * len(TexturePoints._fields)))]
 
     sharded = shard_map(
         per_shard, mesh=mesh,
@@ -1194,7 +1263,8 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
                              extra_occluder_poses=None,
                              handle_occlusions=None, depth_intr=None,
                              depth_scale=None, depth_images=None,
-                             depth_model=None) -> KinematicTrackingState:
+                             depth_model=None,
+                             texture_points=None) -> KinematicTrackingState:
     """One tracking cycle for S articulated structures of NL links each.
 
     The TPU analogue of Tracker::ExecuteTrackingStep over kinematic structures
@@ -1213,6 +1283,9 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
     enable per-link ICG depth fusion when ``pcfg.use_depth`` — the Mb-ICG/RTB
     configuration, each link summing region + depth modality terms into the same
     KKT solve (link.cpp:184-193, rtb_evaluator.cpp config).
+    texture_points: optional TexturePoints with leading B == S * NL axis
+    (per-link host feature matches, texture_points_from_modalities) adding ICG+
+    Tukey GN terms to each link when ``pcfg.use_texture``.
     """
     cfg = pcfg.cfg
     fu, fv, ppu, ppv = intr
@@ -1301,6 +1374,9 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
                     measured_presampled=mpre)
             )(depth_images_flat, dview, pose_flat, d_modeled, d_sil, dpre,
               handle_occlusions, mo_pre)
+        if pcfg.use_texture and texture_points is not None:
+            tex_std = pcfg.texture_standard_deviations[
+                min(corr_iteration, len(pcfg.texture_standard_deviations) - 1)]
         for update_iteration in range(pcfg.n_update_iterations):
             b2c, pose_flat = _kinematic_flat_poses(kin, jp)
             gradient, hessian = jax.vmap(
@@ -1315,6 +1391,14 @@ def tracking_cycle_kinematic(pcfg: PipelineConfig, intr, images,
                 )(depth_points, pose_flat)
                 gradient = gradient + dg
                 hessian = hessian + dh
+            if pcfg.use_texture and texture_points is not None:
+                tg, th = jax.vmap(
+                    lambda tp, p: texture_fn.calculate_gradient_and_hessian(
+                        tp, p, fu, fv, ppu, ppv, tex_std,
+                        pcfg.tukey_norm_constant)
+                )(texture_points, pose_flat)
+                gradient = gradient + tg
+                hessian = hessian + th
             jp = kin_ops.update_structures(
                 kin, jp, gradient.reshape(s, nl, 6),
                 hessian.reshape(s, nl, 6, 6),

@@ -228,6 +228,125 @@ def test_articulated_batch_of_structures(tmp_path):
         assert err_c < 0.015, f"structure {s_idx} child error {err_c}"
 
 
+@pytest.mark.slow
+def test_closed_chain_constraint_fused(tmp_path):
+    """End-to-end closed-chain tracking through the fused kinematic cycle: the
+    revolute joint is expressed as a 6-DoF child plus a hard Lagrange constraint
+    leaving only z-rotation free (constraint.cpp residual/Jacobian inside the
+    KKT solve, the configuration of examples/constraint_convergence.cpp), and
+    the result matches the host object-graph tracker with the same constraint.
+    """
+    from m3t_tpu.camera import ImageColorCamera
+    from m3t_tpu.constraint import Constraint
+    from m3t_tpu.detector import StaticDetector
+    from m3t_tpu.region_modality import RegionModality
+    from m3t_tpu.tracker import Tracker
+
+    parent = fixtures.sphere_body("cc_parent", radius=0.05, n_subdiv=2)
+    child = fixtures.sphere_body("cc_child", radius=0.04, n_subdiv=2)
+    intr = fixtures.test_intrinsics(200, 150)
+    arm = 0.13
+    body2joint_child = np_pose(translation=[arm, 0.0, 0.0])
+
+    def child_pose(root_pose, angle):
+        joint_rot = np_pose_variation(
+            np.array([0, 0, angle, 0, 0, 0], np.float32))
+        return root_pose @ joint_rot @ body2joint_child
+
+    root_gt = np_pose(translation=[-0.05, 0.0, 0.7])
+    angles = [0.0, 0.04, 0.08, 0.12, 0.16]
+    rng = np.random.default_rng(29)
+    frames = [
+        _render_frame([parent, child], [root_gt, child_pose(root_gt, a)], intr, rng)
+        for a in angles
+    ]
+
+    model_p = RegionModel("cc_model_p", parent, str(tmp_path / "p.npz"),
+                          n_divides=1, n_points=100, image_size=400)
+    model_c = RegionModel("cc_model_c", child, str(tmp_path / "c.npz"),
+                          n_divides=1, n_points=100, image_size=400)
+    assert model_p.SetUp() and model_c.SetUp()
+
+    def build_graph(prefix, camera=None):
+        link_p = Link(f"{prefix}_link_p", parent)
+        # 6-DoF child; the revolute behavior comes from the hard constraint.
+        link_c = Link(f"{prefix}_link_c", child,
+                      free_directions=[True] * 6,
+                      joint2parent_pose=body2joint_child)
+        if camera is not None:
+            for link, body, model in ((link_p, parent, model_p),
+                                      (link_c, child, model_c)):
+                m = RegionModality(f"{prefix}_{body.name}_rm", body, camera,
+                                   model)
+                m.n_lines_max = 100
+                m.scales = [2, 1]
+                m.standard_deviations = [5.0, 1.5]
+                link.AddModality(m)
+        link_p.AddChildLink(link_c)
+        link_p.set_link2world_pose(root_gt)
+        constraint = Constraint(
+            f"{prefix}_c", link_p, link_c,
+            body22joint2_pose=body2joint_child,
+            constraint_directions=[True, True, False, True, True, True])
+        opt = Optimizer(f"{prefix}_struct", link_p)
+        opt.AddConstraint(constraint)
+        if camera is None:
+            # Tracker.SetUp handles ordered setup in the host twin.
+            assert link_c.SetUp() and link_p.SetUp()
+            assert constraint.SetUp()
+            assert opt.SetUp()
+        return opt
+
+    opt = build_graph("cc")
+    kin = kin_ops.build_kinematic_model([opt])
+    assert int(np.asarray(kin.c_valid).sum()) == 1
+    jp0 = kin_ops.initial_joint2parent([opt])
+
+    cfg = RegionConfig(n_lines_max=100)
+    pcfg = pipeline.PipelineConfig(cfg=cfg, scales=(2, 1),
+                                   standard_deviations=(5.0, 1.5),
+                                   n_corr_iterations=4, n_update_iterations=2)
+    intr_t = (np.float32(intr.fu), np.float32(intr.fv),
+              np.float32(intr.ppu), np.float32(intr.ppv))
+    arrays = pipeline.RegionModelArrays.from_models([model_p, model_c], 100)
+
+    state = pipeline.initialize_kinematic_histograms(
+        pcfg, intr_t, jnp.asarray(frames[0])[None], arrays, kin, jp0)
+    for image in frames[1:]:
+        state = pipeline.tracking_cycle_kinematic(
+            pcfg, intr_t, jnp.asarray(image)[None], arrays, kin, state)
+
+    b2c = np.asarray(pipeline.kinematic_body_poses(kin, state))[0]
+    final_child_gt = child_pose(root_gt, angles[-1])
+    assert np.linalg.norm(b2c[0][:3, 3] - root_gt[:3, 3]) < 0.01
+    assert np.linalg.norm(b2c[1][:3, 3] - final_child_gt[:3, 3]) < 0.015
+
+    # The hard constraint must hold: joint2-in-joint1 is a pure z-rotation.
+    rel = np.linalg.inv(b2c[0].astype(np.float64)) @ b2c[1].astype(np.float64)
+    joint = rel @ np.linalg.inv(body2joint_child.astype(np.float64))
+    assert np.linalg.norm(joint[:3, 3]) < 2e-4, joint[:3, 3]
+    from scipy.spatial.transform import Rotation
+    rotvec = Rotation.from_matrix(joint[:3, :3]).as_rotvec()
+    assert np.linalg.norm(rotvec[:2]) < 2e-3, rotvec
+
+    # Host object-graph twin with the SAME constraint configuration.
+    camera = ImageColorCamera("cc_cam", intr, frames)
+    assert camera.SetUp()
+    h_opt = build_graph("cc_h", camera)
+    detector = StaticDetector("cc_det", h_opt, link2world_pose=root_gt)
+    tracker = Tracker("cc_tracker", n_corr_iterations=4, n_update_iterations=2)
+    tracker.AddOptimizer(h_opt)
+    tracker.AddDetector(detector)
+    assert tracker.SetUp()
+    assert tracker.RunTrackerProcess(execute_detection=True, start_tracking=True,
+                                     max_iterations=len(frames))
+    for j, body in enumerate([parent, child]):
+        d = np.linalg.norm(b2c[j][:3, 3] - body.body2world_pose[:3, 3])
+        # Looser than the revolute-parameterization test: the 12-DoF + Lagrange
+        # system leaves more gauge freedom for the two paths to drift within.
+        assert d < 0.006, f"fused vs host {body.name}: {d * 1000:.2f} mm"
+
+
 def _render_depth_frame(bodies, poses, intr, depth_scale=0.001):
     verts, ids = [], []
     for i, (body, pose) in enumerate(zip(bodies, poses)):
