@@ -67,7 +67,8 @@ def read_quaternion_poses(path: str) -> tuple[np.ndarray, np.ndarray]:
 class YCBEvaluator:
     def __init__(self, name: str, dataset_directory: str, external_directory: str,
                  sequence_ids: list[int], sequence2body_names: dict[int, list[str]],
-                 detector_folder: str = "cosypose"):
+                 detector_folder: str = "cosypose",
+                 multi_region_body_names: list[str] | None = None):
         self.name = name
         self.dataset_directory = str(dataset_directory)
         self.external_directory = str(external_directory)
@@ -79,6 +80,14 @@ class YCBEvaluator:
         self.use_texture_modality = False
         self.use_matlab_gt_poses = False
         self.run_sequentially = True
+        # Multi-region variants (evaluate_ycb_dataset.cpp:35-44,124): bodies in
+        # this list are split into sub-body regions (OBJ files under
+        # <external>/multi_region/<body>/), one RegionModel per sub-body with
+        # the other sub-bodies associated as different-region geometry
+        # (ycb_evaluator.cpp:1109-1126), and one RegionModality per sub-model
+        # all summing into the body's single Link.
+        self.multi_region_body_names = list(multi_region_body_names or [])
+        self.use_multi_region = bool(multi_region_body_names)
         self.depth_scale = 0.0001  # YCB-Video factor_depth = 10000
         self.intrinsics = YCB_INTRINSICS
         # TPU throughput path (DEFAULT): every (sequence, body) run tracks as
@@ -126,14 +135,61 @@ class YCBEvaluator:
             raise RuntimeError(f"Could not set up body {body_name}")
         return body
 
+    def _is_multi_region(self, body_name: str) -> bool:
+        return self.use_multi_region and body_name in self.multi_region_body_names
+
+    def _load_sub_bodies(self, body_name: str) -> list[Body]:
+        """Sub-body region meshes from <external>/multi_region/<body_name>/
+        (ycb_evaluator.cpp:1079-1099)."""
+        directory = os.path.join(self.external_directory, "multi_region",
+                                 body_name)
+        sub_bodies = []
+        for fname in sorted(os.listdir(directory)):
+            if not fname.lower().endswith(".obj"):
+                continue
+            sub = Body(os.path.splitext(fname)[0],
+                       geometry_path=os.path.join(directory, fname),
+                       geometry_unit_in_meter=1.0,
+                       geometry_counterclockwise=True,
+                       geometry_enable_culling=True)
+            if not sub.SetUp():
+                raise RuntimeError(
+                    f"Could not set up sub body {fname} of {body_name}")
+            sub_bodies.append(sub)
+        if not sub_bodies:
+            raise RuntimeError(
+                f"multi_region directory for {body_name} has no .obj files")
+        return sub_bodies
+
     def _make_models(self, body: Body):
-        region_model = RegionModel(
-            f"{body.name}_region_model", body,
-            os.path.join(self.external_directory, "models",
-                         f"{body.name}_region_model.npz"))
-        self.region_model_setter(region_model)
-        if not region_model.SetUp():
-            raise RuntimeError(f"region model for {body.name} failed")
+        """(list of region models, depth model) — one region model per sub-body
+        for multi-region bodies (ycb_evaluator.cpp:1109-1126), else one for the
+        body itself."""
+        region_models = []
+        if self._is_multi_region(body.name):
+            sub_bodies = self._load_sub_bodies(body.name)
+            for sub in sub_bodies:
+                model = RegionModel(
+                    f"{sub.name}_region_model", sub,
+                    os.path.join(self.external_directory, "models",
+                                 f"{sub.name}_region_model.npz"))
+                for other in sub_bodies:
+                    if other.name != sub.name:
+                        model.AddAssociatedBody(other, False, False)
+                self.region_model_setter(model)
+                if not model.SetUp():
+                    raise RuntimeError(
+                        f"region model for sub body {sub.name} failed")
+                region_models.append(model)
+        else:
+            region_model = RegionModel(
+                f"{body.name}_region_model", body,
+                os.path.join(self.external_directory, "models",
+                             f"{body.name}_region_model.npz"))
+            self.region_model_setter(region_model)
+            if not region_model.SetUp():
+                raise RuntimeError(f"region model for {body.name} failed")
+            region_models.append(region_model)
         depth_model = None
         if self.use_depth_modality:
             depth_model = DepthModel(
@@ -143,7 +199,7 @@ class YCBEvaluator:
             self.depth_model_setter(depth_model)
             if not depth_model.SetUp():
                 raise RuntimeError(f"depth model for {body.name} failed")
-        return region_model, depth_model
+        return region_models, depth_model
 
     def _setup_tracker(self, sequence_id: int, bodies: dict, models: dict):
         sequence_dir = os.path.join(self.dataset_directory, "data",
@@ -171,7 +227,7 @@ class YCBEvaluator:
         tracker = Tracker("tracker", synchronize_cameras=False)
         optimizers = {}
         for body_name, body in bodies.items():
-            region_model, depth_model = models[body_name]
+            region_models, depth_model = models[body_name]
             link = Link(f"{body_name}_link", body)
             silhouette_renderer = None
             if self.use_texture_modality:
@@ -180,12 +236,19 @@ class YCBEvaluator:
                     id_type=IDType.BODY)
                 silhouette_renderer.AddReferencedBody(body)
             if self.use_region_modality:
-                modality = RegionModality(f"{body_name}_region_modality", body,
-                                          color_camera, region_model)
-                self.region_modality_setter(modality)
-                if depth_camera is not None:
-                    modality.MeasureOcclusions(depth_camera)
-                link.AddModality(modality)
+                # One RegionModality per region model (one per sub-body for
+                # multi-region variants, ycb_evaluator.cpp:427-453), all
+                # attached to the SAME body and link.
+                max_contour = max(m.max_contour_length for m in region_models)
+                for region_model in region_models:
+                    modality = RegionModality(
+                        f"{region_model.body_ptr.name}_region_modality", body,
+                        color_camera, region_model)
+                    self.region_modality_setter(modality)
+                    modality.reference_contour_length = max_contour
+                    if depth_camera is not None:
+                        modality.MeasureOcclusions(depth_camera)
+                    link.AddModality(modality)
             if self.use_depth_modality and depth_camera is not None:
                 modality = DepthModality(f"{body_name}_depth_modality", body,
                                          depth_camera, depth_model)
@@ -282,7 +345,6 @@ class YCBEvaluator:
         n_lines = pcfg.cfg.n_lines_max
         entries = [(seq, body_name) for seq in self.sequence_ids
                    for body_name in self.sequence2body_names[seq]]
-        b = len(entries)
 
         bodies = {}
         models = {}
@@ -290,6 +352,29 @@ class YCBEvaluator:
             if body_name not in bodies:
                 bodies[body_name] = self._make_body(body_name)
                 models[body_name] = self._make_models(bodies[body_name])
+
+        # Batch slots: one per (entry, region model).  Multi-region bodies
+        # contribute one slot per sub-body region model; every slot of an entry
+        # shares the entry's pose through pose_group (the fused analogue of K
+        # RegionModalities summing into one Link, ycb_evaluator.cpp:427-453).
+        # The entry's single DepthModality lives on the first (primary) slot;
+        # non-primary slots run with a zero depth point budget.
+        slot_entry = []      # slot -> entry index
+        slot_models = []     # slot -> region model
+        slot_primary = []    # slot -> bool
+        for e_idx, (seq, body_name) in enumerate(entries):
+            for k, rm in enumerate(models[body_name][0]):
+                slot_entry.append(e_idx)
+                slot_models.append(rm)
+                slot_primary.append(k == 0)
+        b = len(slot_entry)
+        first_slot = {}
+        group = np.zeros(b, np.int32)
+        for si, e_idx in enumerate(slot_entry):
+            first_slot.setdefault(e_idx, si)
+            group[si] = first_slot[e_idx]
+        entry_slot = [first_slot[e] for e in range(len(entries))]
+        slot_seq = [entries[e][0] for e in slot_entry]
 
         sequence_dirs = {
             seq: os.path.join(self.dataset_directory, "data", f"{seq:04d}")
@@ -316,26 +401,37 @@ class YCBEvaluator:
                 depth_cams[seq] = dcam
 
         region_arrays = pipeline.RegionModelArrays.from_models(
-            [models[bn][0] for _, bn in entries], n_lines)
+            slot_models, n_lines)
         depth_arrays = None
+        depth_n_points = None
         if self.use_depth_modality:
             depth_arrays = pipeline.DepthModelArrays.from_models(
-                [models[bn][1] for _, bn in entries],
+                [models[entries[e][1]][1] for e in slot_entry],
                 pcfg.depth_cfg.n_points_max)
+            depth_n_points = jnp.asarray(np.where(
+                slot_primary, pcfg.depth_cfg.n_points_max, 0).astype(np.int32))
+        pose_group = jnp.asarray(group)
         intr = (np.float32(self.intrinsics.fu), np.float32(self.intrinsics.fv),
                 np.float32(self.intrinsics.ppu), np.float32(self.intrinsics.ppv))
 
         gt_poses = {e: self._load_poses("gt", *e) for e in entries}
         det_poses = {e: self._load_poses(self.detector_folder, *e)
                      for e in entries}
-        init_poses = np.stack([
+        init_poses_entries = np.stack([
             det_poses[e][0][0] if len(det_poses[e][0]) else np.eye(4, np.float32)
             for e in entries]).astype(np.float32)
+        init_poses = init_poses_entries[slot_entry]
 
         texture_modalities = None
         if self.use_texture_modality:
+            # One TextureModality per entry, on the primary slot; non-primary
+            # slots carry no texture terms (None placeholder).
             texture_modalities = []
-            for seq, body_name in entries:
+            for si, e_idx in enumerate(slot_entry):
+                if not slot_primary[si]:
+                    texture_modalities.append(None)
+                    continue
+                seq, body_name = entries[e_idx]
                 texture_modalities.append(self._make_texture_modality(
                     f"{seq:04d}_{body_name}", bodies[body_name],
                     color_cams[seq]))
@@ -359,27 +455,34 @@ class YCBEvaluator:
         state = None
         frame = 0
 
+        class _NoTexture:
+            data_points_3d = ()
+            data_points_2d = ()
+
         def batch_images():
             color = np.stack([np.asarray(color_cams[seq].image)
-                              for seq, _ in entries])
+                              for seq in slot_seq])
             depth = None
             if self.use_depth_modality:
                 depth = np.stack([np.asarray(depth_cams[seq].image)
-                                  for seq, _ in entries])
+                                  for seq in slot_seq])
             return jnp.asarray(color), (jnp.asarray(depth)
                                         if depth is not None else None)
 
         def texture_points(poses_est):
             if texture_modalities is None:
                 return None
-            for (seq, body_name), m, pose in zip(entries, texture_modalities,
-                                                 poses_est):
-                bodies[body_name].set_body2world_pose(np.asarray(pose))
+            for si, m in enumerate(texture_modalities):
+                if m is None:
+                    continue
+                body_name = entries[slot_entry[si]][1]
+                bodies[body_name].set_body2world_pose(np.asarray(poses_est[si]))
                 m.CalculateCorrespondences(frame, 0)
-            k_max = max(128, max(len(m.data_points_3d)
-                                 for m in texture_modalities))
-            return pipeline.texture_points_from_modalities(texture_modalities,
-                                                           k_max)
+            real = [m for m in texture_modalities if m is not None]
+            k_max = max(128, max(len(m.data_points_3d) for m in real))
+            return pipeline.texture_points_from_modalities(
+                [m if m is not None else _NoTexture() for m in texture_modalities],
+                k_max)
 
         while any(active.values()) and any(
                 keyframe_idx[s] < len(self.keyframes.get(s) or [])
@@ -399,9 +502,11 @@ class YCBEvaluator:
                 state = pipeline.initialize_histograms(
                     pcfg, intr, images, region_arrays, jnp.asarray(init_poses))
                 if texture_modalities is not None:
-                    for (seq, body_name), m, pose in zip(
-                            entries, texture_modalities, init_poses):
-                        bodies[body_name].set_body2world_pose(pose)
+                    for si, m in enumerate(texture_modalities):
+                        if m is None:
+                            continue
+                        body_name = entries[slot_entry[si]][1]
+                        bodies[body_name].set_body2world_pose(init_poses[si])
                         m.StartModality(frame, 0)
                 started = True
             begin = time.perf_counter()
@@ -410,11 +515,13 @@ class YCBEvaluator:
                 state = pipeline.tracking_cycle_rgbd(
                     pcfg, intr, intr, jnp.float32(self.depth_scale), images,
                     depth_images, region_arrays, depth_arrays, state,
-                    texture_points=tex)
+                    texture_points=tex, pose_group=pose_group,
+                    depth_n_points=depth_n_points)
             else:
                 state = pipeline.tracking_cycle(pcfg, intr, images,
                                                 region_arrays, state,
-                                                texture_points=tex)
+                                                texture_points=tex,
+                                                pose_group=pose_group)
             poses_est = np.asarray(state.body2camera_pose)
             elapsed = time.perf_counter() - begin
 
@@ -442,9 +549,10 @@ class YCBEvaluator:
                     if kidx >= len(poses_g) or not valid[kidx]:
                         continue
                     pose_gt = poses_g[kidx]
-                    add = metrics.add_error(vertices[body_name], poses_est[r],
+                    pose_e = poses_est[entry_slot[r]]
+                    add = metrics.add_error(vertices[body_name], pose_e,
                                             pose_gt)
-                    adds = metrics.adds_error(vertices[body_name], poses_est[r],
+                    adds = metrics.adds_error(vertices[body_name], pose_e,
                                               pose_gt, kdtrees[body_name])
                     res = results[(seq, body_name)]
                     res["add_aucs"].append(
@@ -455,7 +563,7 @@ class YCBEvaluator:
                         add, THRESHOLD_MAX, N_CURVE_VALUES)
                     res["adds_curve"] += metrics.error_curve(
                         adds, THRESHOLD_MAX, N_CURVE_VALUES)
-                    res["cycle_times"].append(elapsed / b)
+                    res["cycle_times"].append(elapsed / len(entries))
                 keyframe_idx[seq] += 1
             frame += 1
 

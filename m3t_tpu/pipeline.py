@@ -339,8 +339,21 @@ def _ldlt_solve_6x6(a, b):
     return jnp.stack(x, axis=1)
 
 
-def _solve_and_update(pcfg: PipelineConfig, gradient, hessian, pose):
-    """Batched Tikhonov-regularized Newton step (optimizer.cpp:144-167, single link)."""
+def _solve_and_update(pcfg: PipelineConfig, gradient, hessian, pose, group=None):
+    """Batched Tikhonov-regularized Newton step (optimizer.cpp:144-167, single link).
+
+    ``group`` (B,) int32 optionally ties slots to a shared pose: slot terms are
+    segment-summed per group and gathered back before the solve, so every slot
+    of a group takes the identical Newton step — the multi-region configuration
+    where several RegionModalities (one per sub-body region model) sum into one
+    Link (ycb_evaluator.cpp:427-453, link.cpp:184-193).  Group ids must be the
+    index of the group's first slot, and grouped slots must start with equal
+    poses.
+    """
+    if group is not None:
+        b = gradient.shape[0]
+        gradient = jax.ops.segment_sum(gradient, group, num_segments=b)[group]
+        hessian = jax.ops.segment_sum(hessian, group, num_segments=b)[group]
     tikhonov = jnp.diag(jnp.asarray(
         [pcfg.tikhonov_rotation] * 3 + [pcfg.tikhonov_translation] * 3, jnp.float32))
     a = -hessian + tikhonov[None, :, :]
@@ -483,7 +496,8 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
                 state: TrackingState, depth_intr=None, depth_scale=None,
                 depth_images=None, depth_model=None, scene_geom=None,
                 occluder_poses=None, handle_occlusions=None,
-                texture_points=None) -> TrackingState:
+                texture_points=None, pose_group=None,
+                depth_n_points=None) -> TrackingState:
     """Full tracking cycle for a batch (shared by jit and shard_map paths)."""
     cfg = pcfg.cfg
     fu, fv, ppu, ppv = intr
@@ -569,18 +583,21 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
                     pose, dcropT, dcorner_u, dcorner_v, pcfg.crop_size,
                     dfu, dfv, dppu, dppv, depth_images.shape[2],
                     depth_images.shape[1])
+            dnp = jnp.broadcast_to(
+                jnp.asarray(pcfg.depth_cfg.n_points_max
+                            if depth_n_points is None else depth_n_points,
+                            jnp.int32), (pose.shape[0],))
             depth_points = jax.vmap(
-                lambda dimg, dpv, p, dmo, dsc, pre, ho, mpre:
+                lambda dimg, dpv, p, dmo, dsc, pre, ho, mpre, np_:
                 depth_fn.calculate_correspondences(
-                    pcfg.depth_cfg, cd, dpv,
-                    jnp.int32(pcfg.depth_cfg.n_points_max), p, dimg,
+                    pcfg.depth_cfg, cd, dpv, np_, p, dimg,
                     dfu, dfv, dppu, dppv, depth_images.shape[2],
                     depth_images.shape[1], depth_scale, ho,
                     measure_occlusions=pcfg.depth_measure_occlusions,
                     modeled_occlusion=dmo, silhouette_check=dsc, presampled=pre,
                     measured_presampled=mpre)
             )(depth_images, dview, pose, d_modeled, d_sil, dpre,
-              handle_occlusions, mo_pre)
+              handle_occlusions, mo_pre, dnp)
         if pcfg.use_texture and texture_points is not None:
             tex_std = pcfg.texture_standard_deviations[
                 min(corr_iteration, len(pcfg.texture_standard_deviations) - 1)]
@@ -605,7 +622,8 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
                 )(texture_points, pose)
                 gradient = gradient + tg
                 hessian = hessian + th
-            pose = _solve_and_update(pcfg, gradient, hessian, pose)
+            pose = _solve_and_update(pcfg, gradient, hessian, pose,
+                                     group=pose_group)
 
     # CalculateResults: online histogram adaptation (tracker.cpp:503-517).
     points = jax.vmap(lambda m, p: _select_view_cl(m, p))(model, pose)
@@ -623,7 +641,8 @@ def _cycle_core(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
 @functools.partial(jax.jit, static_argnames=("pcfg",))
 def tracking_cycle(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
                    state: TrackingState, scene_geom=None, occluder_poses=None,
-                   handle_occlusions=None, texture_points=None) -> TrackingState:
+                   handle_occlusions=None, texture_points=None,
+                   pose_group=None) -> TrackingState:
     """One full tracking cycle for a batch of bodies.
 
     images: (B, H, W, 3) or planar (B, 3, H, W) uint8.
@@ -631,12 +650,14 @@ def tracking_cycle(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,
     enable on-device modeled occlusions / region checking when the matching
     PipelineConfig flags are set; handle_occlusions is a traced bool (the
     reference disables occlusion handling for the first n_unoccluded_iterations
-    after StartModality, region_modality.h:442).
+    after StartModality, region_modality.h:442).  pose_group (B,) int32 ties
+    batch slots to one shared pose (multi-region sub-modalities summing into a
+    single Link, see _solve_and_update).
     """
     return _cycle_core(pcfg, intr, images, model, state, scene_geom=scene_geom,
                        occluder_poses=occluder_poses,
                        handle_occlusions=handle_occlusions,
-                       texture_points=texture_points)
+                       texture_points=texture_points, pose_group=pose_group)
 
 
 @functools.partial(jax.jit, static_argnames=("pcfg",))
@@ -644,20 +665,25 @@ def tracking_cycle_rgbd(pcfg: PipelineConfig, intr, depth_intr, depth_scale, ima
                         depth_images, model: RegionModelArrays,
                         depth_model: DepthModelArrays,
                         state: TrackingState, scene_geom=None, occluder_poses=None,
-                        handle_occlusions=None, texture_points=None) -> TrackingState:
+                        handle_occlusions=None, texture_points=None,
+                        pose_group=None, depth_n_points=None) -> TrackingState:
     """ICG-style region+depth fused cycle for a batch of bodies.
 
     depth_images (B, Hd, Wd) uint16 with shared depth camera intrinsics/scale
     (the reference's ICG configuration, ICG/readme.md:51-73).  Occlusion inputs
     as in :func:`tracking_cycle`; measured occlusions additionally use the depth
-    images directly (region_modality.cpp:1343-1389).
+    images directly (region_modality.cpp:1343-1389).  pose_group (B,) int32
+    ties batch slots to one shared pose and depth_n_points (B,) int32 sets the
+    per-slot depth point budget (0 disables depth terms for non-primary
+    multi-region slots, which all duplicate the entry's one DepthModality).
     """
     return _cycle_core(pcfg, intr, images, model, state, depth_intr=depth_intr,
                        depth_scale=depth_scale, depth_images=depth_images,
                        depth_model=depth_model, scene_geom=scene_geom,
                        occluder_poses=occluder_poses,
                        handle_occlusions=handle_occlusions,
-                       texture_points=texture_points)
+                       texture_points=texture_points, pose_group=pose_group,
+                       depth_n_points=depth_n_points)
 
 
 def initialize_histograms(pcfg: PipelineConfig, intr, images, model: RegionModelArrays,

@@ -510,3 +510,138 @@ def test_rbot_evaluator_fused_occlusion_sequences(tmp_path):
     # occlusion-aware path.
     assert results["tracking_success"] == 1.0, results
     assert run["mean_translation_error"] < 0.01
+
+
+def _build_mini_ycb_multiregion(tmp_path, n_frames=5, depth_scale=0.0001):
+    """Mini YCB-Video dataset with a two-lobe body "duo" plus sub-body region
+    meshes under external/multi_region/duo/ (the reference's multi-region
+    variant layout, ycb_evaluator.cpp:1079-1099)."""
+    from scipy.spatial.transform import Rotation
+
+    from m3t_tpu.body import Body
+
+    intr = fixtures.test_intrinsics(160, 120)
+    va, ta = fixtures.icosphere(2, 0.05)
+    vb, tb = fixtures.icosphere(2, 0.04)
+    va = va + np.asarray([-0.04, 0.0, 0.0], np.float32)
+    vb = vb + np.asarray([0.045, 0.0, 0.0], np.float32)
+    verts = np.concatenate([va, vb]).astype(np.float32)
+    tris = np.concatenate([ta, tb + len(va)]).astype(np.int64)
+
+    seq_dir = tmp_path / "data" / "0001"
+    model_dir = tmp_path / "models" / "duo"
+    mr_dir = tmp_path / "external" / "multi_region" / "duo"
+    os.makedirs(seq_dir)
+    os.makedirs(model_dir)
+    os.makedirs(mr_dir)
+    os.makedirs(tmp_path / "image_sets")
+    os.makedirs(tmp_path / "external" / "models")
+    os.makedirs(tmp_path / "external" / "poses" / "gt")
+    os.makedirs(tmp_path / "external" / "poses" / "cosypose")
+    save_obj(str(model_dir / "textured.obj"), verts, tris)
+    save_obj(str(mr_dir / "duo_lobe_a.obj"), va, ta)
+    save_obj(str(mr_dir / "duo_lobe_b.obj"), vb, tb)
+
+    body = Body("mini_duo", vertices=verts, triangles=tris)
+    assert body.SetUp()
+
+    rng = np.random.default_rng(13)
+    poses = []
+    for i in range(n_frames + 1):
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.002 * i
+        pose[2, 3] = 0.6
+        poses.append(pose)
+
+    keyframe_lines = []
+    for i in range(n_frames):
+        image = fixtures.render_synthetic_color_frame(body, intr, poses[i],
+                                                      noise_rng=rng)
+        cv2.imwrite(str(seq_dir / f"{i + 1:06d}-color.png"), image)
+        depth = fixtures.render_synthetic_depth_frame(
+            body, intr, poses[i], depth_scale=depth_scale)
+        cv2.imwrite(str(seq_dir / f"{i + 1:06d}-depth.png"), depth)
+        keyframe_lines.append(f"0001/{i + 1:06d}")
+    with open(tmp_path / "image_sets" / "keyframe.txt", "w") as f:
+        f.write("\n".join(keyframe_lines) + "\n")
+
+    def write_poses(path, pose_list):
+        with open(path, "w") as f:
+            for pose in pose_list:
+                q = Rotation.from_matrix(pose[:3, :3]).as_quat()
+                t = pose[:3, 3]
+                f.write(f"{q[3]} {q[0]} {q[1]} {q[2]} {t[0]} {t[1]} {t[2]}\n")
+
+    write_poses(tmp_path / "external" / "poses" / "gt" / "0001_duo.txt",
+                [poses[i] for i in range(n_frames)])
+    init = poses[0].copy()
+    init[0, 3] += 0.004
+    write_poses(tmp_path / "external" / "poses" / "cosypose" / "0001_duo.txt",
+                [init] * n_frames)
+    return intr
+
+
+@pytest.mark.slow
+def test_ycb_evaluator_multi_region(tmp_path):
+    """Multi-region body variants (evaluate_ycb_dataset.cpp:35-44,124): one
+    region model per sub-body with the others associated as different-region
+    geometry, one region modality per sub-model summing into the body's single
+    pose — host object-graph path and fused pose_group path agree."""
+    from m3t_tpu import pipeline
+    from m3t_tpu.eval.ycb_evaluator import YCBEvaluator
+    from m3t_tpu.ops.depth_fn import DepthConfig
+    from m3t_tpu.ops.region_fn import RegionConfig
+
+    n_frames = 5
+    depth_scale = 0.0001
+    intr = _build_mini_ycb_multiregion(tmp_path, n_frames, depth_scale)
+
+    def region_model_setter(m):
+        m.n_divides = 1
+        m.n_points = 80
+        m.image_size = 400
+
+    def region_modality_setter(m):
+        m.n_lines_max = 80
+        m.scales = [2, 1]
+        m.standard_deviations = [5.0, 1.5]
+
+    def depth_modality_setter(m):
+        m.n_points_max = 80
+        m.considered_distances = [0.03, 0.02]
+        m.standard_deviations = [0.05, 0.03]
+
+    runs = {}
+    for fused in (False, True):
+        evaluator = YCBEvaluator(
+            f"ycb_mr_{fused}", str(tmp_path), str(tmp_path / "external"),
+            sequence_ids=[1], sequence2body_names={1: ["duo"]},
+            multi_region_body_names=["duo"])
+        assert evaluator.use_multi_region
+        evaluator.intrinsics = intr
+        evaluator.depth_scale = depth_scale
+        evaluator.use_fused_pipeline = fused
+        evaluator.region_model_setter = region_model_setter
+        evaluator.depth_model_setter = region_model_setter
+        evaluator.region_modality_setter = region_modality_setter
+        evaluator.depth_modality_setter = depth_modality_setter
+        evaluator.pipeline_config = pipeline.PipelineConfig(
+            cfg=RegionConfig(n_lines_max=80), scales=(2, 1),
+            standard_deviations=(5.0, 1.5), n_corr_iterations=5,
+            n_update_iterations=2,
+            depth_cfg=DepthConfig(n_points_max=80),
+            considered_distances=(0.03, 0.02),
+            depth_standard_deviations=(0.05, 0.03),
+            region_measure_occlusions=True, depth_measure_occlusions=True)
+        results = evaluator.Evaluate()
+        runs[fused] = results["per_sequence"][1]["duo"]
+
+    # Both sub-body region models were generated with associated bodies.
+    assert os.path.exists(
+        tmp_path / "external" / "models" / "duo_lobe_a_region_model.npz")
+    assert os.path.exists(
+        tmp_path / "external" / "models" / "duo_lobe_b_region_model.npz")
+    for fused, run in runs.items():
+        assert run["n_keyframes"] == n_frames, (fused, run)
+        assert run["add_auc"] > 0.85, (fused, run)
+    assert abs(runs[False]["add_auc"] - runs[True]["add_auc"]) < 0.05
