@@ -41,6 +41,10 @@ class EvaluationMode(enum.Enum):
     COMBINED = 3
 
 
+class _NotExpressible(RuntimeError):
+    """Raised when a configured object graph cannot run on the fused path."""
+
+
 class RTBEvaluator:
     def __init__(self, name: str, dataset_directory: str, external_directory: str,
                  object_names: list[str], difficulty_levels: list[str],
@@ -56,6 +60,14 @@ class RTBEvaluator:
         self.use_region_modality = True
         self.use_depth_modality = True
         self.tracker_setter = lambda t: None
+        # TPU throughput path (DEFAULT): all (difficulty, depth, sequence) runs
+        # of one object track as ONE batch of kinematic structures through
+        # pipeline.tracking_cycle_kinematic (per-link region+depth terms into
+        # the batched adjoint-chain KKT solve — the Mb-ICG/RTB configuration,
+        # rtb_evaluator.cpp run loop + link.cpp:184-193).  Object graphs the
+        # fused path cannot express fall back to the host path with a notice.
+        self.use_fused_pipeline = True
+        self.pipeline_config = None  # Optional m3t_tpu.pipeline.PipelineConfig
         self.results: dict = {}
 
     def Evaluate(self) -> dict:  # noqa: N802
@@ -66,16 +78,33 @@ class RTBEvaluator:
             config_path = os.path.join(
                 self.dataset_directory, object_name, "model", "tracker_config",
                 f"{self.evaluation_mode.name.lower()}.yaml")
-            for difficulty in self.difficulty_levels:
-                for depth_name in self.depth_names:
-                    for seq in self.sequence_numbers:
-                        key = (object_name, difficulty, depth_name, seq)
-                        result = self._evaluate_sequence(
-                            GenerateConfiguredTracker(config_path),
-                            object_name, difficulty, depth_name, seq)
-                        all_results[key] = result
-                        print(f"{object_name}/{difficulty}/{depth_name}/{seq:03d}: "
-                              f"ADD AUC = {result['add_auc']:.4f}")
+            runs = [(difficulty, depth_name, seq)
+                    for difficulty in self.difficulty_levels
+                    for depth_name in self.depth_names
+                    for seq in self.sequence_numbers]
+            fused_results = None
+            if self.use_fused_pipeline:
+                try:
+                    fused_results = self._evaluate_object_fused(
+                        config_path, object_name, runs)
+                except _NotExpressible as e:
+                    print(f"RTBEvaluator: fused path unavailable for "
+                          f"{object_name} ({e}); using the object-graph path")
+            if fused_results is not None:
+                for run, result in fused_results.items():
+                    key = (object_name,) + run
+                    all_results[key] = result
+                    print(f"{object_name}/{run[0]}/{run[1]}/{run[2]:03d} "
+                          f"(fused): ADD AUC = {result['add_auc']:.4f}")
+            else:
+                for difficulty, depth_name, seq in runs:
+                    key = (object_name, difficulty, depth_name, seq)
+                    result = self._evaluate_sequence(
+                        GenerateConfiguredTracker(config_path),
+                        object_name, difficulty, depth_name, seq)
+                    all_results[key] = result
+                    print(f"{object_name}/{difficulty}/{depth_name}/{seq:03d}: "
+                          f"ADD AUC = {result['add_auc']:.4f}")
         flat = list(all_results.values())
         self.results = {
             "per_run": all_results,
@@ -83,6 +112,299 @@ class RTBEvaluator:
             "adds_auc": float(np.mean([r["adds_auc"] for r in flat])) if flat else 0.0,
         }
         return self.results
+
+    def _sequence_dirs(self, object_name, difficulty, depth_name, seq):
+        sequence_base = os.path.join(self.dataset_directory, object_name,
+                                     difficulty, f"{seq:03d}")
+        return (os.path.join(sequence_base, "rgb"),
+                os.path.join(sequence_base, depth_name),
+                os.path.join(sequence_base, "poses_gt"))
+
+    @staticmethod
+    def _load_gt_poses(gt_dir, body_names):
+        gt = {}
+        for body_name in body_names:
+            path = os.path.join(gt_dir, f"{body_name}.txt")
+            if not os.path.exists(path):
+                continue
+            rows = np.loadtxt(path, dtype=np.float64).reshape(-1, 12)
+            poses = np.tile(np.eye(4, dtype=np.float32), (len(rows), 1, 1))
+            poses[:, :3, :3] = rows[:, :9].reshape(-1, 3, 3)
+            poses[:, :3, 3] = rows[:, 9:12]
+            gt[body_name] = poses
+        return gt
+
+    def _evaluate_object_fused(self, config_path, object_name, runs) -> dict:
+        """All runs of one object as a batch of structures through
+        tracking_cycle_kinematic (+ depth fusion when configured)."""
+        import jax.numpy as jnp
+
+        from m3t_tpu import pipeline
+        from m3t_tpu.camera import LoaderColorCamera, LoaderDepthCamera
+        from m3t_tpu.depth_modality import DepthModality
+        from m3t_tpu.generator import GenerateConfiguredTracker
+        from m3t_tpu.ops import kinematics as kin_ops
+        from m3t_tpu.ops.depth_fn import DepthConfig
+        from m3t_tpu.ops.region_fn import RegionConfig
+        from m3t_tpu.region_modality import RegionModality
+
+        tracker = GenerateConfiguredTracker(config_path)
+        tracker._assemble_derived_object_ptrs()
+        self.tracker_setter(tracker)
+        color_tmpl = next((c for c in tracker.camera_ptrs
+                           if isinstance(c, LoaderColorCamera)), None)
+        depth_tmpl = next((c for c in tracker.camera_ptrs
+                           if isinstance(c, LoaderDepthCamera)), None)
+        if color_tmpl is None:
+            raise _NotExpressible("no loader color camera in config")
+        # Point the template cameras at the first run so Tracker.SetUp (models,
+        # modalities, optimizers) can complete; per-run cameras stream below.
+        color0, depth0, _ = self._sequence_dirs(object_name, *runs[0])
+        for camera in (color_tmpl, depth_tmpl):
+            if camera is None:
+                continue
+            if camera.metafile_path:
+                camera._load_loader_metadata(
+                    require_depth_scale=isinstance(camera, LoaderDepthCamera))
+                camera.metafile_path = None
+            camera.load_directory = (depth0 if isinstance(camera,
+                                                          LoaderDepthCamera)
+                                     else color0)
+            camera.load_index = 0
+        if not tracker.SetUp():
+            raise RuntimeError("tracker failed to set up")
+
+        optimizers = tracker.optimizer_ptrs
+        links = []
+        region_modalities = []
+        depth_modalities = []
+        for opt in optimizers:
+            for link in opt.ReferencedLinks():
+                if not link.fixed_body2joint_pose:
+                    raise _NotExpressible(
+                        f"link {link.name} has fixed_body2joint_pose=False")
+                rms = [m for m in link.modality_ptrs
+                       if isinstance(m, RegionModality)]
+                if len(rms) != 1:
+                    raise _NotExpressible(
+                        f"link {link.name} needs exactly one region modality")
+                dms = [m for m in link.modality_ptrs
+                       if isinstance(m, DepthModality)]
+                links.append(link)
+                region_modalities.append(rms[0])
+                depth_modalities.append(dms[0] if dms else None)
+        s0 = len(optimizers)
+        nl = max(len(opt.ReferencedLinks()) for opt in optimizers)
+        if any(len(opt.ReferencedLinks()) != nl for opt in optimizers):
+            raise _NotExpressible("optimizers with unequal link counts")
+        use_depth = (self.use_depth_modality and depth_tmpl is not None
+                     and all(m is not None for m in depth_modalities))
+
+        rm0 = region_modalities[0]
+        pcfg = self.pipeline_config
+        if pcfg is None:
+            pcfg = pipeline.PipelineConfig(
+                cfg=RegionConfig(
+                    n_lines_max=rm0.n_lines_max,
+                    function_length=rm0.function_length,
+                    distribution_length=rm0.distribution_length,
+                    function_amplitude=rm0.function_amplitude,
+                    function_slope=rm0.function_slope,
+                    learning_rate=rm0.learning_rate,
+                    n_global_iterations=rm0.n_global_iterations,
+                    min_continuous_distance=rm0.min_continuous_distance,
+                    n_histogram_bins=rm0.n_histogram_bins),
+                scales=tuple(rm0.scales),
+                standard_deviations=tuple(rm0.standard_deviations),
+                n_corr_iterations=tracker.n_corr_iterations,
+                n_update_iterations=tracker.n_update_iterations,
+                use_depth=use_depth)
+            if use_depth:
+                dm0 = depth_modalities[0]
+                pcfg = pcfg._replace(
+                    depth_cfg=DepthConfig(n_points_max=dm0.n_points_max),
+                    considered_distances=tuple(dm0.considered_distances),
+                    depth_standard_deviations=tuple(dm0.standard_deviations))
+        pcfg = pcfg._replace(use_depth=use_depth)
+        n_lines = pcfg.cfg.n_lines_max
+
+        kin_1 = kin_ops.build_kinematic_model(optimizers, n_links=nl)
+        arrays_1 = pipeline.RegionModelArrays.from_models(
+            [m.region_model_ptr for m in region_modalities], n_lines)
+        darrays_1 = None
+        if use_depth:
+            darrays_1 = pipeline.DepthModelArrays.from_models(
+                [m.depth_model_ptr for m in depth_modalities],
+                pcfg.depth_cfg.n_points_max)
+
+        import jax
+
+        r = len(runs)
+        tile_s = lambda a: jnp.tile(a, (r,) + (1,) * (a.ndim - 1))
+        kin = jax.tree_util.tree_map(tile_s, kin_1)
+        arrays = jax.tree_util.tree_map(tile_s, arrays_1)
+        darrays = (jax.tree_util.tree_map(tile_s, darrays_1)
+                   if darrays_1 is not None else None)
+
+        w2c = np.asarray(color_tmpl.world2camera_pose, np.float32)
+        c2w = np.linalg.inv(w2c.astype(np.float64)).astype(np.float32)
+        intr_o = color_tmpl.intrinsics
+        intr = (np.float32(intr_o.fu), np.float32(intr_o.fv),
+                np.float32(intr_o.ppu), np.float32(intr_o.ppv))
+        multiplier = OBJECT2SIZE_MULTIPLIER.get(object_name, 1.0)
+        threshold = THRESHOLD_MAX * multiplier
+
+        link_body_names = [l.body_ptr.name for l in links]
+        vertices = {}
+        kdtrees = {}
+        for link in links:
+            body = link.body_ptr
+            if body.name in vertices:
+                continue
+            v = metrics.reduce_vertices(
+                body.triangle_vertices_f_body().reshape(-1, 3))
+            vertices[body.name] = v
+            kdtrees[body.name] = cKDTree(v)
+
+        # Per-run cameras + GT + initial DOF state.
+        color_cams, depth_cams, gt_list, jp0_list = [], [], [], []
+        for run in runs:
+            color_dir, depth_dir, gt_dir = self._sequence_dirs(object_name,
+                                                               *run)
+            cam = LoaderColorCamera(
+                f"rtb_color_{run}", load_directory=color_dir,
+                intrinsics=intr_o, image_name_pre=color_tmpl.image_name_pre,
+                load_index=0, n_leading_zeros=color_tmpl.n_leading_zeros,
+                image_name_post=color_tmpl.image_name_post,
+                load_image_type=color_tmpl.load_image_type)
+            cam.set_world2camera_pose(w2c)
+            if not cam.SetUp():
+                raise RuntimeError(f"color camera for run {run} failed")
+            color_cams.append(cam)
+            if use_depth:
+                dcam = LoaderDepthCamera(
+                    f"rtb_depth_{run}", load_directory=depth_dir,
+                    intrinsics=depth_tmpl.intrinsics,
+                    depth_scale=depth_tmpl.depth_scale,
+                    image_name_pre=depth_tmpl.image_name_pre, load_index=0,
+                    n_leading_zeros=depth_tmpl.n_leading_zeros,
+                    image_name_post=depth_tmpl.image_name_post,
+                    load_image_type=depth_tmpl.load_image_type)
+                dcam.set_world2camera_pose(
+                    np.asarray(depth_tmpl.world2camera_pose, np.float32))
+                if not dcam.SetUp():
+                    raise RuntimeError(f"depth camera for run {run} failed")
+                depth_cams.append(dcam)
+            gt = self._load_gt_poses(gt_dir, set(link_body_names))
+            gt_list.append(gt)
+            # Detector initialization: root link at GT frame 0, joints at their
+            # configured defaults (StaticDetector reset semantics).
+            for opt in optimizers:
+                root = opt.root_link_ptr
+                root_body = root.body_ptr
+                if root_body is not None and root_body.name in gt:
+                    root.set_link2world_pose(gt[root_body.name][0])
+                for link in opt.ReferencedLinks():
+                    link.joint2parent_pose = link.default_joint2parent_pose.copy()
+            jp0_list.append(kin_ops.initial_joint2parent(
+                optimizers, world2camera=w2c, n_links=nl))
+        jp0 = np.concatenate(jp0_list)  # (R*S0, NL, 4, 4)
+
+        def batch_images():
+            color = np.stack([np.asarray(c.image) for c in color_cams])
+            color = np.repeat(color, s0, axis=0)
+            depth = None
+            if use_depth:
+                depth = np.stack([np.asarray(c.image) for c in depth_cams])
+                depth = np.repeat(depth, s0, axis=0)
+            return jnp.asarray(color), (jnp.asarray(depth)
+                                        if depth is not None else None)
+
+        results = {run: {"add_aucs": [], "adds_aucs": [], "cycle_times": []}
+                   for run in runs}
+        active = [True] * r
+        n_frames = [min((len(p) for p in gt.values()), default=0)
+                    for gt in gt_list]
+
+        for c in color_cams:
+            if not c.UpdateImage():
+                raise RuntimeError("first frame failed to load")
+        for c in depth_cams:
+            if not c.UpdateImage():
+                raise RuntimeError("first depth frame failed to load")
+        images, depth_images = batch_images()
+        state = pipeline.initialize_kinematic_histograms(
+            pcfg, intr, images, arrays, kin, jp0.reshape(r * s0, nl, 4, 4))
+
+        # Frame loop mirroring _evaluate_sequence: the cycle runs on frame i
+        # (frame 0 included — StartModalities and the first tracking step share
+        # the first image, like the host path) and is scored against GT row
+        # i + 1.
+        frame = 0
+        while any(active):
+            images, depth_images = batch_images()
+            begin = time.perf_counter()
+            if use_depth:
+                state = pipeline.tracking_cycle_kinematic(
+                    pcfg, intr, images, arrays, kin, state, depth_intr=intr,
+                    depth_scale=jnp.float32(depth_tmpl.depth_scale),
+                    depth_images=depth_images, depth_model=darrays)
+            else:
+                state = pipeline.tracking_cycle_kinematic(
+                    pcfg, intr, images, arrays, kin, state)
+            b2c = np.asarray(pipeline.kinematic_body_poses(kin, state))
+            elapsed = time.perf_counter() - begin
+
+            for i_run, run in enumerate(runs):
+                if not active[i_run] or frame + 1 >= n_frames[i_run]:
+                    continue
+                gt = gt_list[i_run]
+                frame_add, frame_adds = [], []
+                for s_idx in range(s0):
+                    for l_idx, link in enumerate(
+                            optimizers[s_idx].ReferencedLinks()):
+                        body_name = link.body_ptr.name
+                        if body_name not in gt:
+                            continue
+                        pose = c2w @ b2c[i_run * s0 + s_idx, l_idx]
+                        pose_gt = gt[body_name][frame + 1]
+                        add = metrics.add_error(vertices[body_name], pose,
+                                                pose_gt)
+                        adds = metrics.adds_error(vertices[body_name], pose,
+                                                  pose_gt, kdtrees[body_name])
+                        frame_add.append(metrics.auc_from_error(add, threshold))
+                        frame_adds.append(metrics.auc_from_error(adds,
+                                                                 threshold))
+                if frame_add:
+                    res = results[run]
+                    res["add_aucs"].append(float(np.mean(frame_add)))
+                    res["adds_aucs"].append(float(np.mean(frame_adds)))
+                    res["cycle_times"].append(elapsed / r)
+            frame += 1
+            for i_run in range(r):
+                if not active[i_run]:
+                    continue
+                if frame + 1 >= n_frames[i_run]:
+                    active[i_run] = False
+                    continue
+                ok = color_cams[i_run].UpdateImage()
+                if use_depth:
+                    ok = depth_cams[i_run].UpdateImage() and ok
+                if not ok:
+                    active[i_run] = False
+
+        out = {}
+        for run, res in results.items():
+            out[run] = {
+                "add_auc": float(np.mean(res["add_aucs"]))
+                if res["add_aucs"] else 0.0,
+                "adds_auc": float(np.mean(res["adds_aucs"]))
+                if res["adds_aucs"] else 0.0,
+                "mean_cycle_time_s": float(np.mean(res["cycle_times"]))
+                if res["cycle_times"] else 0.0,
+                "n_frames": len(res["add_aucs"]),
+            }
+        return out
 
     def _evaluate_sequence(self, tracker, object_name, difficulty, depth_name,
                            seq) -> dict:

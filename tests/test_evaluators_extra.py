@@ -132,11 +132,8 @@ def test_choi_evaluator_on_synthetic_mini_dataset(tmp_path):
 
 
 @pytest.mark.slow
-def test_rtb_evaluator_on_synthetic_mini_dataset(tmp_path):
-    """Two-body revolute structure in RTB layout, configured through the YAML
-    generator (the reference's tracker_config/<mode>.yaml path)."""
-    from m3t_tpu.eval.rtb_evaluator import RTBEvaluator
-
+def _build_mini_rtb(tmp_path):
+    """Two-body revolute structure in RTB layout with a generator YAML config."""
     parent = fixtures.sphere_body("rtb_parent", radius=0.05, n_subdiv=2)
     child = fixtures.sphere_body("rtb_child", radius=0.04, n_subdiv=2)
     intr = fixtures.test_intrinsics(200, 150)
@@ -286,16 +283,50 @@ Tracker:
     optimizers: ["structure_optimizer"]
     detectors: ["detector"]
 """)
+    return intr, n_frames
 
+
+def test_rtb_evaluator_on_synthetic_mini_dataset(tmp_path):
+    """Two-body revolute structure in RTB layout, configured through the YAML
+    generator (the reference's tracker_config/<mode>.yaml path) — object-graph
+    path."""
+    from m3t_tpu.eval.rtb_evaluator import RTBEvaluator
+
+    intr, n_frames = _build_mini_rtb(tmp_path)
     evaluator = RTBEvaluator("rtb_eval", str(tmp_path), str(tmp_path),
                              object_names=["miniobj"],
                              difficulty_levels=["easy"],
                              depth_names=["gt_depth"], sequence_numbers=[0])
+    evaluator.use_fused_pipeline = False
     results = evaluator.Evaluate()
     run = results["per_run"][("miniobj", "easy", "gt_depth", 0)]
     assert run["n_frames"] == n_frames
     assert results["add_auc"] > 0.85, results
     assert results["adds_auc"] >= results["add_auc"] - 1e-6
+
+
+def test_rtb_evaluator_fused_kinematic_path(tmp_path):
+    """Fused default path: the same RTB mini-dataset batched through
+    tracking_cycle_kinematic (VERDICT round-4 item 3) matches the object-graph
+    result."""
+    from m3t_tpu.eval.rtb_evaluator import RTBEvaluator
+
+    intr, n_frames = _build_mini_rtb(tmp_path)
+    runs = {}
+    for fused in (False, True):
+        evaluator = RTBEvaluator(f"rtb_eval_{fused}", str(tmp_path),
+                                 str(tmp_path), object_names=["miniobj"],
+                                 difficulty_levels=["easy"],
+                                 depth_names=["gt_depth"],
+                                 sequence_numbers=[0])
+        evaluator.use_fused_pipeline = fused
+        results = evaluator.Evaluate()
+        runs[fused] = results["per_run"][("miniobj", "easy", "gt_depth", 0)]
+    for fused, run in runs.items():
+        assert run["n_frames"] == n_frames, (fused, run)
+        assert run["add_auc"] > 0.85, (fused, run)
+        assert run["mean_cycle_time_s"] > 0.0
+    assert abs(runs[False]["add_auc"] - runs[True]["add_auc"]) < 0.05
 
 
 def test_opt_gt_pose_format_and_run_configurations(tmp_path):
