@@ -61,7 +61,9 @@ def main() -> int:
     rg.AddBody(body)
     viewer = NormalColorViewer("viewer", camera, rg)
 
-    tracker = Tracker("tracker")
+    # Serve through the fused TPU cycle when the graph is expressible
+    # (m3t_tpu/fused_serve.py); the 33 ms budget check stays in the tracker.
+    tracker = Tracker("tracker", use_fused_cycle=True)
     tracker.AddOptimizer(optimizer)
     tracker.AddDetector(detector)
     tracker.AddViewer(viewer)

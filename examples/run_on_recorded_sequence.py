@@ -35,6 +35,12 @@ def main() -> int:
     parser.add_argument("--camera-metafile", default=None)
     parser.add_argument("--n-frames", type=int, default=None)
     parser.add_argument("--viewer", action="store_true")
+    parser.add_argument("--host-path", action="store_true",
+                        help="force the per-modality object-graph loop")
+    parser.add_argument("--n-divides", type=int, default=4,
+                        help="sparse viewpoint model subdivisions (model.h:161)")
+    parser.add_argument("--n-points", type=int, default=200)
+    parser.add_argument("--model-image-size", type=int, default=2000)
     args = parser.parse_args()
 
     if args.camera_metafile:
@@ -48,7 +54,9 @@ def main() -> int:
                 geometry_unit_in_meter=1.0)
 
     model = RegionModel("body_region_model", body,
-                        f"{args.external_dir}/body_region_model.npz")
+                        f"{args.external_dir}/body_region_model.npz",
+                        n_divides=args.n_divides, n_points=args.n_points,
+                        image_size=args.model_image_size)
     modality = RegionModality("body_region_modality", body, camera, model)
     link = Link("body_link", body)
     link.AddModality(modality)
@@ -56,7 +64,9 @@ def main() -> int:
     detector = StaticDetector("body_detector", optimizer,
                               metafile_path=args.detector_metafile)
 
-    tracker = Tracker("tracker")
+    # Serve through the fused TPU cycle by default (m3t_tpu/fused_serve.py);
+    # --host-path forces the per-modality object-graph loop.
+    tracker = Tracker("tracker", use_fused_cycle=not args.host_path)
     tracker.AddOptimizer(optimizer)
     tracker.AddDetector(detector)
     if args.viewer:

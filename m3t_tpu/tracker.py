@@ -27,7 +27,8 @@ class Tracker:
                  n_update_iterations: int = 2, synchronize_cameras: bool = True,
                  start_tracking_after_detection: bool = False,
                  cycle_duration_ms: int = 33, visualization_time: int = 0,
-                 viewer_time: int = 1, metafile_path: str | None = None):
+                 viewer_time: int = 1, metafile_path: str | None = None,
+                 use_fused_cycle: bool = False):
         self.name = name
         self.metafile_path = metafile_path
         self.n_corr_iterations = int(n_corr_iterations)
@@ -37,6 +38,12 @@ class Tracker:
         self.cycle_duration_ms = int(cycle_duration_ms)
         self.visualization_time = int(visualization_time)
         self.viewer_time = int(viewer_time)
+        # Serve the tracking step through the fused TPU pipeline when the
+        # object graph is expressible (m3t_tpu/fused_serve.py); the host
+        # per-modality path remains the fallback and the parity reference.
+        self.use_fused_cycle = bool(use_fused_cycle)
+        self._fused_backend = None
+        self._fused_backend_key = None
 
         # User-provided objects
         self.optimizer_ptrs: list = []
@@ -181,6 +188,8 @@ class Tracker:
                 return False
         self._extract_all_optimizer_names()
         self._init_internal_ptrs()
+        self._fused_backend = None
+        self._fused_backend_key = None
         self.set_up = True
         return True
 
@@ -199,6 +208,8 @@ class Tracker:
             self.visualization_time = int(g("visualization_time",
                                             self.visualization_time))
             self.viewer_time = int(g("viewer_time", self.viewer_time))
+            self.use_fused_cycle = bool(g("use_fused_cycle",
+                                          self.use_fused_cycle))
         finally:
             fs.release()
         return True
@@ -480,7 +491,27 @@ class Tracker:
         self._assemble_internally_used_object_ptrs()
         return True
 
+    def _fused_serve_backend(self):
+        """Cached FusedServeBackend for the current tracking set (or None)."""
+        key = tuple(sorted(o.name for o in self.tracking_optimizer_ptrs))
+        if key != self._fused_backend_key:
+            self._fused_backend_key = key
+            self._fused_backend = None
+            if self.tracking_optimizer_ptrs:
+                from m3t_tpu.fused_serve import FusedServeBackend
+
+                backend, reason = FusedServeBackend.try_build(self)
+                if backend is None:
+                    print(f"Tracker {self.name}: fused cycle unavailable "
+                          f"({reason}); using the host path")
+                self._fused_backend = backend
+        return self._fused_backend
+
     def ExecuteTrackingStep(self, iteration: int) -> bool:  # noqa: N802
+        if self.use_fused_cycle:
+            backend = self._fused_serve_backend()
+            if backend is not None:
+                return backend.Execute(iteration)
         for corr_iteration in range(self.n_corr_iterations):
             corr_save_idx = iteration * self.n_corr_iterations + corr_iteration
             if not self.CalculateCorrespondences(iteration, corr_iteration):
