@@ -225,11 +225,14 @@ def _view_index(orientations, pose):
 def _adaptive_n_lines(pcfg: PipelineConfig, model: RegionModelArrays, poses):
     """Per-body traced line count, scaled by the closest view's contour length
     when adaptive coverage is on (region_modality.cpp:417-429: int truncation of
-    n_lines_max * ratio, clamped to the available model points)."""
+    n_lines_max * ratio, clamped to the available model points).
+
+    Returns a PYTHON int when adaptive coverage is off so the line masks stay
+    XLA constants (a traced per-body count costs ~20 % region-cycle throughput
+    for nothing)."""
     cfg = pcfg.cfg
-    b = poses.shape[0]
     if not pcfg.use_adaptive_coverage:
-        return jnp.full((b,), cfg.n_lines_max, jnp.int32)
+        return int(cfg.n_lines_max)
 
     def one(m, p):
         idx = _view_index(m.orientations, p)
@@ -378,16 +381,29 @@ def _region_terms(pcfg: PipelineConfig, intr, scale, points, poses, n_lines,
     fu, fv, ppu, ppv = intr
     cfg = pcfg.cfg
     kp = region_fast.round_up(cfg.line_length_in_segments * scale, 8)
-    n_lines = jnp.broadcast_to(jnp.asarray(n_lines, jnp.int32),
-                               (poses.shape[0],))
-    geo = jax.vmap(
-        lambda p, pose, cu, cv, rc, mo, mdo, ho, nl: region_fast.line_geometry(
-            cfg, scale, p, nl, pose, fu, fv, ppu, ppv, width, height,
-            cu, cv, pcfg.crop_size, pcfg.lp, region_check=rc,
-            measured_occlusion=mo, modeled_occlusion=mdo,
-            handle_occlusions=ho)
-    )(points, poses, corner_u, corner_v, region_check, measured_occlusion,
-      modeled_occlusion, handle_occlusions, n_lines)
+    if isinstance(n_lines, (int, np.integer)):
+        # Static count (adaptive coverage off): keep the line masks constants.
+        nl_const = jnp.int32(n_lines)
+        geo = jax.vmap(
+            lambda p, pose, cu, cv, rc, mo, mdo, ho: region_fast.line_geometry(
+                cfg, scale, p, nl_const, pose, fu, fv, ppu, ppv, width, height,
+                cu, cv, pcfg.crop_size, pcfg.lp, region_check=rc,
+                measured_occlusion=mo, modeled_occlusion=mdo,
+                handle_occlusions=ho)
+        )(points, poses, corner_u, corner_v, region_check, measured_occlusion,
+          modeled_occlusion, handle_occlusions)
+    else:
+        n_lines = jnp.broadcast_to(jnp.asarray(n_lines, jnp.int32),
+                                   (poses.shape[0],))
+        geo = jax.vmap(
+            lambda p, pose, cu, cv, rc, mo, mdo, ho, nl:
+            region_fast.line_geometry(
+                cfg, scale, p, nl, pose, fu, fv, ppu, ppv, width, height,
+                cu, cv, pcfg.crop_size, pcfg.lp, region_check=rc,
+                measured_occlusion=mo, modeled_occlusion=mdo,
+                handle_occlusions=ho)
+        )(points, poses, corner_u, corner_v, region_check, measured_occlusion,
+          modeled_occlusion, handle_occlusions, n_lines)
     samples = region_fast.sample_lines(geo.params, bin_crop, bin_cropT, rtab, kp)
     lines = jax.vmap(
         lambda g, s: region_fast.lines_from_samples(cfg, scale, g, s)
@@ -401,13 +417,21 @@ def _histogram_memories(pcfg: PipelineConfig, intr, points, poses, n_lines,
     fu, fv, ppu, ppv = intr
     cfg = pcfg.cfg
     lp2 = 2 * pcfg.lp
-    n_lines = jnp.broadcast_to(jnp.asarray(n_lines, jnp.int32),
-                               (poses.shape[0],))
-    params, mask = jax.vmap(
-        lambda p, pose, cu, cv, nl: region_fast.histogram_walk_geometry(
-            cfg, p, nl, pose, fu, fv, ppu, ppv, width, height,
-            cu, cv, pcfg.crop_size, lp2)
-    )(points, poses, corner_u, corner_v, n_lines)
+    if isinstance(n_lines, (int, np.integer)):
+        nl_const = jnp.int32(n_lines)
+        params, mask = jax.vmap(
+            lambda p, pose, cu, cv: region_fast.histogram_walk_geometry(
+                cfg, p, nl_const, pose, fu, fv, ppu, ppv, width, height,
+                cu, cv, pcfg.crop_size, lp2)
+        )(points, poses, corner_u, corner_v)
+    else:
+        n_lines = jnp.broadcast_to(jnp.asarray(n_lines, jnp.int32),
+                                   (poses.shape[0],))
+        params, mask = jax.vmap(
+            lambda p, pose, cu, cv, nl: region_fast.histogram_walk_geometry(
+                cfg, p, nl, pose, fu, fv, ppu, ppv, width, height,
+                cu, cv, pcfg.crop_size, lp2)
+        )(points, poses, corner_u, corner_v, n_lines)
     max_steps = int(np.ceil(cfg.max_considered_line_length)) + 1
     kp2 = region_fast.round_up(max_steps, 8)
     bins = region_fast.sample_lines(params, bin_crop, bin_cropT, rtab, kp2,
