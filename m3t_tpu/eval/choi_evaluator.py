@@ -37,6 +37,9 @@ class ChoiEvaluator:
         self.use_region_modality = True
         self.use_depth_modality = True
         self.intrinsics = CHOI_INTRINSICS
+        # Serve tracking through the fused TPU cycle when the graph is
+        # expressible (m3t_tpu/fused_serve.py), host path otherwise.
+        self.use_fused_pipeline = True
         self.tracker_setter = lambda t: None
         self.region_modality_setter = lambda m: None
         self.region_model_setter = lambda m: None
@@ -123,7 +126,8 @@ class ChoiEvaluator:
         optimizer = Optimizer(f"{body_name}_optimizer", link)
         detector = StaticDetector(f"{body_name}_detector", optimizer,
                                   link2world_pose=gt_poses[0])
-        tracker = Tracker("tracker", synchronize_cameras=False)
+        tracker = Tracker("tracker", synchronize_cameras=False,
+                          use_fused_cycle=self.use_fused_pipeline)
         self.tracker_setter(tracker)
         tracker.AddOptimizer(optimizer)
         tracker.AddDetector(detector)
@@ -143,7 +147,7 @@ class ChoiEvaluator:
             tracker.CalculateConsistentPoses()
             tracker.ExecuteDetectingStep(i)
             tracker.ExecuteStartingStep(i)
-            times = metrics.execute_measured_tracking_step(tracker, i)
+            times = metrics.execute_tracking_step_maybe_fused(tracker, i)
             if times:
                 phase_times.append(times)
             errors.append(metrics.choi_errors(body.body2world_pose, gt_poses[i + 1]))

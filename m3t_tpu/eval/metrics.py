@@ -143,3 +143,23 @@ def execute_measured_tracking_step(tracker, iteration: int) -> dict:
     times["calculate_results"] += time.perf_counter() - begin
     times["complete_cycle"] = time.perf_counter() - begin_cycle
     return times
+
+
+def execute_tracking_step_maybe_fused(tracker, iteration: int) -> dict:
+    """execute_measured_tracking_step, or one whole-step timing when the
+    tracker serves through the fused pipeline (m3t_tpu/fused_serve.py — phases
+    then live inside one jit and cannot be host-timed separately)."""
+    import time
+
+    if getattr(tracker, "use_fused_cycle", False) \
+            and tracker._fused_serve_backend() is not None:
+        begin = time.perf_counter()
+        if not tracker.ExecuteTrackingStep(iteration):
+            return {}
+        return {"complete_cycle": time.perf_counter() - begin,
+                "calculate_correspondences": 0.0,
+                "calculate_gradient_and_hessian": 0.0,
+                "calculate_optimization": 0.0,
+                "calculate_results": 0.0,
+                "fused": True}
+    return execute_measured_tracking_step(tracker, iteration)

@@ -116,6 +116,10 @@ class OPTEvaluator:
         self.use_region_modality = True
         self.use_depth_modality = True
         self.intrinsics = OPT_INTRINSICS
+        # Serve tracking through the fused TPU cycle when the graph is
+        # expressible (m3t_tpu/fused_serve.py); the published OPT layout's
+        # offset depth extrinsics fall back to the host path automatically.
+        self.use_fused_pipeline = True
         self.tracker_setter = lambda t: None
         self.region_modality_setter = lambda m: None
         self.region_model_setter = lambda m: None
@@ -238,7 +242,8 @@ class OPTEvaluator:
         optimizer = Optimizer(f"{body.name}_optimizer", link)
         detector = StaticDetector(f"{body.name}_detector", optimizer,
                                   link2world_pose=gt_poses[0])
-        tracker = Tracker("tracker", synchronize_cameras=False)
+        tracker = Tracker("tracker", synchronize_cameras=False,
+                          use_fused_cycle=self.use_fused_pipeline)
         self.tracker_setter(tracker)
         tracker.AddOptimizer(optimizer)
         tracker.AddDetector(detector)
@@ -258,7 +263,7 @@ class OPTEvaluator:
             tracker.CalculateConsistentPoses()
             tracker.ExecuteDetectingStep(i)
             tracker.ExecuteStartingStep(i)
-            times = metrics.execute_measured_tracking_step(tracker, i)
+            times = metrics.execute_tracking_step_maybe_fused(tracker, i)
             if times:
                 phase_times.append(times)
             error = metrics.add_error(vertices, body.body2world_pose, gt_poses[i + 1])

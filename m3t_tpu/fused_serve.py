@@ -129,6 +129,12 @@ class FusedServeBackend:
                 return None, "region/depth modalities use different depth cameras"
         if use_depth and dm0.n_unoccluded_iterations != rm0.n_unoccluded_iterations:
             return None, "region/depth n_unoccluded_iterations differ"
+        if use_depth and not np.allclose(
+                np.asarray(depth_camera.world2camera_pose),
+                np.asarray(color_camera.world2camera_pose), atol=1e-7):
+            # tracking_cycle_rgbd evaluates depth terms in the color camera's
+            # frame; offset depth extrinsics need the host path.
+            return None, "depth camera extrinsics differ from color camera"
 
         opt0 = optimizers[0]
         for opt in optimizers:

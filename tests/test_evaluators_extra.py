@@ -40,7 +40,8 @@ def _small_depth_modality(m):
 
 
 @pytest.mark.slow
-def test_opt_evaluator_on_synthetic_mini_dataset(tmp_path):
+@pytest.mark.parametrize("fused", [False, True])
+def test_opt_evaluator_on_synthetic_mini_dataset(tmp_path, fused):
     from m3t_tpu.eval.opt_evaluator import OPTEvaluator
 
     body = fixtures.sphere_body("opt_ball", radius=0.06, n_subdiv=2)
@@ -73,6 +74,7 @@ def test_opt_evaluator_on_synthetic_mini_dataset(tmp_path):
     evaluator = OPTEvaluator("opt_eval", str(tmp_path), str(tmp_path),
                              body_names=["ball"], sequence_names=["seq1"])
     evaluator.intrinsics = intr
+    evaluator.use_fused_pipeline = fused
     evaluator.region_model_setter = _small_model
     evaluator.depth_model_setter = _small_model
     evaluator.region_modality_setter = _small_region_modality
@@ -84,10 +86,17 @@ def test_opt_evaluator_on_synthetic_mini_dataset(tmp_path):
     # AUC over thresholds scaled by the body diameter; near-perfect tracking on
     # the noise-free-ish synthetic sequence.
     assert results["auc"] > 0.8, results
+    # Fused serve times the whole step as one jit (per-phase times are zero);
+    # the host path must still break phases out.
+    if fused:
+        assert run["execution_times"]["calculate_correspondences"] == 0.0
+    else:
+        assert run["execution_times"]["calculate_correspondences"] > 0.0
 
 
 @pytest.mark.slow
-def test_choi_evaluator_on_synthetic_mini_dataset(tmp_path):
+@pytest.mark.parametrize("fused", [False, True])
+def test_choi_evaluator_on_synthetic_mini_dataset(tmp_path, fused):
     from m3t_tpu.eval.choi_evaluator import ChoiEvaluator
 
     body = fixtures.sphere_body("choi_ball", radius=0.06, n_subdiv=2)
@@ -118,6 +127,7 @@ def test_choi_evaluator_on_synthetic_mini_dataset(tmp_path):
     evaluator = ChoiEvaluator("choi_eval", str(tmp_path), str(tmp_path),
                               body_names=["ball"])
     evaluator.intrinsics = intr
+    evaluator.use_fused_pipeline = fused
     evaluator.region_model_setter = _small_model
     evaluator.depth_model_setter = _small_model
     evaluator.region_modality_setter = _small_region_modality
@@ -129,9 +139,12 @@ def test_choi_evaluator_on_synthetic_mini_dataset(tmp_path):
     # RMSE in mm / deg; synthetic tracking should stay within a few mm.
     assert run["rmse_x"] < 5.0 and run["rmse_y"] < 5.0 and run["rmse_z"] < 8.0, run
     assert run["rmse_alpha"] < 5.0, run
+    if fused:
+        assert run["execution_times"]["calculate_correspondences"] == 0.0
+    else:
+        assert run["execution_times"]["calculate_correspondences"] > 0.0
 
 
-@pytest.mark.slow
 def _build_mini_rtb(tmp_path):
     """Two-body revolute structure in RTB layout with a generator YAML config."""
     parent = fixtures.sphere_body("rtb_parent", radius=0.05, n_subdiv=2)
