@@ -68,20 +68,132 @@ class RTBEvaluator:
         # fused path cannot express fall back to the host path with a notice.
         self.use_fused_pipeline = True
         self.pipeline_config = None  # Optional m3t_tpu.pipeline.PipelineConfig
+        # External-pose comparison flow (rtb_evaluator.cpp:452-462,481-483):
+        # with evaluate_external, per-frame poses produced by an external method
+        # (e.g. the reference's MATLAB pipeline) are loaded from
+        # <external>/poses/<external_results_folder>/... and scored with the
+        # same ADD/ADD-S AUC metric instead of tracking.  save_poses_folder
+        # writes this evaluator's own tracked poses in the same layout so they
+        # can feed that comparison.
+        self.evaluate_external = False
+        self.external_results_folder = ""
+        self.save_poses_folder = None
         self.results: dict = {}
+
+    def _config_path(self, object_name: str) -> str:
+        """Mode-specific generator config (rtb_evaluator.cpp:512-528: config.yaml
+        for COMBINED, config_<mode>.yaml otherwise; the repo's <mode>.yaml naming
+        is accepted as a fallback)."""
+        base = os.path.join(self.dataset_directory, object_name, "model",
+                            "tracker_config")
+        mode = self.evaluation_mode
+        names = (["config.yaml"] if mode == EvaluationMode.COMBINED
+                 else [f"config_{mode.name.lower()}.yaml"])
+        names.append(f"{mode.name.lower()}.yaml")
+        for name in names:
+            path = os.path.join(base, name)
+            if os.path.exists(path):
+                return path
+        return os.path.join(base, names[0])
+
+    def _pose_dir(self, folder, object_name, difficulty, depth_name, seq):
+        return os.path.join(self.external_directory, "poses", folder,
+                            object_name, difficulty, depth_name, f"{seq:03d}")
+
+    def _save_run_poses(self, object_name, run, poses_per_body) -> None:
+        """Write tracked per-frame body2world poses (12 row-major values per
+        line, the dataset's poses_gt format) for the external comparison flow."""
+        if not self.save_poses_folder:
+            return
+        directory = self._pose_dir(self.save_poses_folder, object_name, *run)
+        os.makedirs(directory, exist_ok=True)
+        for body_name, poses in poses_per_body.items():
+            with open(os.path.join(directory, f"{body_name}.txt"), "w") as f:
+                for pose in poses:
+                    row = list(np.asarray(pose)[:3, :3].reshape(-1)) + list(
+                        np.asarray(pose)[:3, 3])
+                    f.write(" ".join(f"{v:.9f}" for v in row) + "\n")
+
+    def _evaluate_external_run(self, object_name, run, body_names,
+                               vertices, kdtrees, gt, threshold) -> dict:
+        """Score externally produced poses with the tracker's own metric
+        (rtb_evaluator.cpp:481-483: frame i's external pose vs GT row i+1)."""
+        directory = self._pose_dir(self.external_results_folder, object_name,
+                                   *run)
+        external = self._load_gt_poses(directory, body_names)
+        if not external:
+            raise RuntimeError(f"no external poses under {directory}")
+        # External pose i is scored against GT row i + 1 (the tracked pose for
+        # frame i, like the tracking loop).
+        n_frames = min(min((len(p) for p in external.values()), default=0),
+                       min((len(p) for p in gt.values()), default=0) - 1)
+        add_aucs, adds_aucs = [], []
+        for i in range(max(n_frames, 0)):
+            frame_add, frame_adds = [], []
+            for body_name, poses in external.items():
+                if body_name not in gt:
+                    continue
+                add = metrics.add_error(vertices[body_name], poses[i],
+                                        gt[body_name][i + 1])
+                adds = metrics.adds_error(vertices[body_name], poses[i],
+                                          gt[body_name][i + 1],
+                                          kdtrees[body_name])
+                frame_add.append(metrics.auc_from_error(add, threshold))
+                frame_adds.append(metrics.auc_from_error(adds, threshold))
+            if frame_add:
+                add_aucs.append(float(np.mean(frame_add)))
+                adds_aucs.append(float(np.mean(frame_adds)))
+        return {
+            "add_auc": float(np.mean(add_aucs)) if add_aucs else 0.0,
+            "adds_auc": float(np.mean(adds_aucs)) if adds_aucs else 0.0,
+            "mean_cycle_time_s": 0.0,
+            "n_frames": len(add_aucs),
+        }
+
+    def _evaluate_object_external(self, config_path, object_name, runs) -> dict:
+        from m3t_tpu.generator import GenerateConfiguredTracker
+
+        tracker = GenerateConfiguredTracker(config_path)
+        tracker._assemble_derived_object_ptrs()
+        body_names = [b.name for b in tracker.body_ptrs]
+        for body in tracker.body_ptrs:
+            if not body.set_up:
+                body.SetUp()
+        multiplier = OBJECT2SIZE_MULTIPLIER.get(object_name, 1.0)
+        vertices, kdtrees = {}, {}
+        for body in tracker.body_ptrs:
+            v = metrics.reduce_vertices(
+                body.triangle_vertices_f_body().reshape(-1, 3))
+            vertices[body.name] = v
+            kdtrees[body.name] = cKDTree(v)
+        out = {}
+        for run in runs:
+            _, _, gt_dir = self._sequence_dirs(object_name, *run)
+            gt = self._load_gt_poses(gt_dir, body_names)
+            out[run] = self._evaluate_external_run(
+                object_name, run, body_names, vertices, kdtrees, gt,
+                THRESHOLD_MAX * multiplier)
+        return out
 
     def Evaluate(self) -> dict:  # noqa: N802
         from m3t_tpu.generator import GenerateConfiguredTracker
 
         all_results = {}
         for object_name in self.object_names:
-            config_path = os.path.join(
-                self.dataset_directory, object_name, "model", "tracker_config",
-                f"{self.evaluation_mode.name.lower()}.yaml")
+            config_path = self._config_path(object_name)
             runs = [(difficulty, depth_name, seq)
                     for difficulty in self.difficulty_levels
                     for depth_name in self.depth_names
                     for seq in self.sequence_numbers]
+            if self.evaluate_external:
+                for run, result in self._evaluate_object_external(
+                        config_path, object_name, runs).items():
+                    key = (object_name,) + run
+                    all_results[key] = result
+                    print(f"{object_name}/{run[0]}/{run[1]}/{run[2]:03d} "
+                          f"(external {self.external_results_folder}): "
+                          f"ADD AUC = {result['add_auc']:.4f}")
+                continue
             fused_results = None
             if self.use_fused_pipeline:
                 try:
@@ -322,6 +434,7 @@ class RTBEvaluator:
 
         results = {run: {"add_aucs": [], "adds_aucs": [], "cycle_times": []}
                    for run in runs}
+        saved = {run: {name: [] for name in link_body_names} for run in runs}
         active = [True] * r
         n_frames = [min((len(p) for p in gt.values()), default=0)
                     for gt in gt_list]
@@ -358,6 +471,12 @@ class RTBEvaluator:
             for i_run, run in enumerate(runs):
                 if not active[i_run] or frame + 1 >= n_frames[i_run]:
                     continue
+                if self.save_poses_folder:
+                    for s_idx in range(s0):
+                        for l_idx, link in enumerate(
+                                optimizers[s_idx].ReferencedLinks()):
+                            saved[run][link.body_ptr.name].append(
+                                c2w @ b2c[i_run * s0 + s_idx, l_idx])
                 gt = gt_list[i_run]
                 frame_add, frame_adds = [], []
                 for s_idx in range(s0):
@@ -395,6 +514,7 @@ class RTBEvaluator:
 
         out = {}
         for run, res in results.items():
+            self._save_run_poses(object_name, run, saved[run])
             out[run] = {
                 "add_auc": float(np.mean(res["add_aucs"]))
                 if res["add_aucs"] else 0.0,
@@ -466,6 +586,7 @@ class RTBEvaluator:
         add_aucs = []
         adds_aucs = []
         cycle_times = []
+        saved = {name: [] for name in bodies}
         n_frames = min(len(p) for p in gt_poses.values()) if gt_poses else 0
         for i in range(max(n_frames - 1, 0)):
             if not tracker.UpdateCameras(i):
@@ -476,6 +597,10 @@ class RTBEvaluator:
             begin = time.perf_counter()
             tracker.ExecuteTrackingStep(i)
             cycle_times.append(time.perf_counter() - begin)
+            if self.save_poses_folder:
+                for body_name, body in bodies.items():
+                    saved[body_name].append(
+                        np.asarray(body.body2world_pose).copy())
             frame_add = []
             frame_adds = []
             threshold = THRESHOLD_MAX * multiplier
@@ -491,9 +616,22 @@ class RTBEvaluator:
                 add_aucs.append(float(np.mean(frame_add)))
                 adds_aucs.append(float(np.mean(frame_adds)))
 
+        self._save_run_poses(object_name, (difficulty, depth_name, seq), saved)
         return {
             "add_auc": float(np.mean(add_aucs)) if add_aucs else 0.0,
             "adds_auc": float(np.mean(adds_aucs)) if adds_aucs else 0.0,
             "mean_cycle_time_s": float(np.mean(cycle_times)) if cycle_times else 0.0,
             "n_frames": len(add_aucs),
         }
+
+    def SaveResults(self, path: str) -> None:  # noqa: N802
+        """CSV rows "<title>,add_auc,adds_auc,cycle_time" per run plus an "all"
+        average row (rtb_evaluator.cpp:267-279)."""
+        with open(path, "w") as f:
+            for key, r in self.results.get("per_run", {}).items():
+                title = "_".join(str(k) for k in key)
+                f.write(f"{title},{r['add_auc']},{r['adds_auc']},"
+                        f"{r.get('mean_cycle_time_s', 0.0)}\n")
+            f.write(f"all,{self.results.get('add_auc', 0.0)},"
+                    f"{self.results.get('adds_auc', 0.0)},"
+                    f"{np.mean([r.get('mean_cycle_time_s', 0.0) for r in self.results.get('per_run', {}).values()]) if self.results.get('per_run') else 0.0}\n")

@@ -342,6 +342,42 @@ def test_rtb_evaluator_fused_kinematic_path(tmp_path):
     assert abs(runs[False]["add_auc"] - runs[True]["add_auc"]) < 0.05
 
 
+def test_rtb_external_pose_flow(tmp_path):
+    """MATLAB-comparison round trip (rtb_evaluator.cpp:452-483): track with
+    save_poses_folder, then re-score the saved poses via evaluate_external with
+    the same metric — the AUCs must agree; SaveResults writes the CSV."""
+    from m3t_tpu.eval.rtb_evaluator import RTBEvaluator
+
+    intr, n_frames = _build_mini_rtb(tmp_path)
+    kwargs = dict(object_names=["miniobj"], difficulty_levels=["easy"],
+                  depth_names=["gt_depth"], sequence_numbers=[0])
+    tracker_ev = RTBEvaluator("rtb_track", str(tmp_path), str(tmp_path),
+                              **kwargs)
+    tracker_ev.save_poses_folder = "m3t_tpu"
+    tracked = tracker_ev.Evaluate()["per_run"][("miniobj", "easy",
+                                                "gt_depth", 0)]
+    saved = (tmp_path / "poses" / "m3t_tpu" / "miniobj" / "easy" / "gt_depth"
+             / "000" / "parent.txt")
+    assert saved.exists()
+    assert len(saved.read_text().strip().splitlines()) == tracked["n_frames"]
+
+    external_ev = RTBEvaluator("rtb_ext", str(tmp_path), str(tmp_path),
+                               **kwargs)
+    external_ev.evaluate_external = True
+    external_ev.external_results_folder = "m3t_tpu"
+    external = external_ev.Evaluate()["per_run"][("miniobj", "easy",
+                                                  "gt_depth", 0)]
+    assert external["n_frames"] == tracked["n_frames"]
+    assert abs(external["add_auc"] - tracked["add_auc"]) < 1e-3
+    assert abs(external["adds_auc"] - tracked["adds_auc"]) < 1e-3
+
+    csv_path = tmp_path / "results.csv"
+    external_ev.SaveResults(str(csv_path))
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[-1].startswith("all,")
+    assert lines[0].startswith("miniobj_easy_gt_depth_0,")
+
+
 def test_opt_gt_pose_format_and_run_configurations(tmp_path):
     """OPT layout: column-major GT rows x inverse geometry2body; reference
     sequence naming "<body[:2]>_<pattern>_<orientation>" (opt_evaluator.cpp:504,
