@@ -664,19 +664,63 @@ def histogram_walk_geometry(cfg: RegionConfig, points: ViewPointsCL, n_lines, po
     return params, mask
 
 
+def _bin_counts_kernel(bins_ref, out_ref, *, n_cols: int, rows: int):
+    """VMEM-blocked one-hot histogram: per 128-sample group, two tiny one-hots
+    (both built with the samples in lanes — no transposes) feed an A·Bᵀ matmul
+    into the (rows, 128) accumulator; nothing but the (padded) bin indices and
+    the counts ever touch HBM."""
+    acc = jnp.zeros((rows, 128), jnp.float32)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    for j in range(n_cols):
+        group = bins_ref[j, :][None, :]                  # (1, 128) samples
+        a = (row_iota == (group >> 7)).astype(jnp.float32)    # (rows, 128s)
+        bm = (lane_iota == (group & 127)).astype(jnp.float32)  # (128l, 128s)
+        # counts[r, l] += sum_s a[r, s] * bm[l, s]  (0/1 values, exact in f32)
+        acc = acc + jax.lax.dot_general(a, bm, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    out_ref[:, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins_total",))
 def bin_counts(bins, mask, n_bins_total: int = 4096):
-    """Masked histogram counts via a factored one-hot contraction on the MXU.
+    """Masked histogram counts via one-hot contractions on the MXU, blocked in
+    VMEM by a Pallas kernel.
 
     bins: (B, N) int32, mask: (B, N) bool -> (B, n_bins_total) f32 counts.
-    The (row, lane) factorization keeps the one-hot operands small; 0/1 values are
-    exact in bf16 and accumulate in f32.
+    A plain XLA ``einsum`` over factored one-hots materializes (B, N, 128)
+    operands in HBM (~1 GB per cycle at B=512) and costs ~6 ms; the kernel
+    keeps the one-hots in registers, so only the 12 MB of bin indices move.
+    Masked samples are folded into an out-of-range sentinel whose row one-hot
+    never matches.
     """
+    b, n = bins.shape
     rows = n_bins_total // 128
-    row = bins >> 7
-    lane = bins & 127
-    row_oh = (row[..., None] == jnp.arange(rows)[None, None, :])
-    row_oh = jnp.where(mask[..., None], row_oh, False).astype(jnp.bfloat16)
-    lane_oh = (lane[..., None] == jnp.arange(128)[None, None, :]).astype(jnp.bfloat16)
-    counts = jnp.einsum("bnr,bnl->brl", row_oh, lane_oh,
-                        preferred_element_type=jnp.float32)
-    return counts.reshape(bins.shape[0], n_bins_total)
+    sentinel = jnp.int32(n_bins_total)
+    bins_m = jnp.where(mask, bins, sentinel)
+    n_pad = round_up(max(n, 1), 128)
+    if n_pad != n:
+        bins_m = jnp.pad(bins_m, ((0, 0), (0, n_pad - n)),
+                         constant_values=n_bins_total)
+    n_cols = n_pad // 128
+    groups = bins_m.reshape(b, n_cols, 128)
+
+    kern = functools.partial(_bin_counts_kernel, n_cols=n_cols, rows=rows)
+
+    def kernel(bins_ref, out_ref):
+        kern(bins_ref.at[0], out_ref.at[0])
+
+    grid_spec = pl.GridSpec(
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n_cols, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, rows, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    counts = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, rows, 128), jnp.float32),
+        interpret=_use_interpret(),
+    )(groups)
+    return counts.reshape(b, n_bins_total)

@@ -186,3 +186,21 @@ def test_stripe_coverage(scene):
     valid = np.asarray(geo.valid[0])
     assert (s0[valid] < 128).any() and (s0[valid] >= 128).any(), \
         "test scene does not exercise both crop stripes"
+
+
+def test_bin_counts_matches_numpy(rng):
+    """Pallas VMEM-blocked one-hot binning == numpy bincount, incl. masking and
+    non-multiple-of-128 sample counts."""
+    import jax.numpy as jnp
+
+    from m3t_tpu.ops import region_fast
+
+    for n_total, n in ((4096, 6144), (4096, 300), (512, 1000)):
+        bins = rng.integers(0, n_total, size=(5, n)).astype(np.int32)
+        mask = rng.random((5, n)) > 0.3
+        got = np.asarray(region_fast.bin_counts(jnp.asarray(bins),
+                                                jnp.asarray(mask), n_total))
+        want = np.stack([
+            np.bincount(bins[i][mask[i]], minlength=n_total).astype(np.float32)
+            for i in range(5)])
+        np.testing.assert_array_equal(got, want)
