@@ -669,17 +669,20 @@ def _bin_counts_kernel(bins_ref, out_ref, *, n_cols: int, rows: int):
     (both built with the samples in lanes — no transposes) feed an A·Bᵀ matmul
     into the (rows, 128) accumulator; nothing but the (padded) bin indices and
     the counts ever touch HBM."""
-    acc = jnp.zeros((rows, 128), jnp.float32)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    a_parts, b_parts = [], []
     for j in range(n_cols):
         group = bins_ref[j, :][None, :]                  # (1, 128) samples
-        a = (row_iota == (group >> 7)).astype(jnp.float32)    # (rows, 128s)
-        bm = (lane_iota == (group & 127)).astype(jnp.float32)  # (128l, 128s)
-        # counts[r, l] += sum_s a[r, s] * bm[l, s]  (0/1 values, exact in f32)
-        acc = acc + jax.lax.dot_general(a, bm, (((1,), (1,)), ((), ())),
+        a_parts.append((row_iota == (group >> 7)).astype(jnp.float32))
+        b_parts.append((lane_iota == (group & 127)).astype(jnp.float32))
+    # One wide A·Bᵀ contraction over all samples (48 separate 128-sample
+    # matmuls are MXU-latency-bound at ~3x the cost).
+    a = jnp.concatenate(a_parts, axis=1)                  # (rows, n_cols*128)
+    bm = jnp.concatenate(b_parts, axis=1)                 # (128l, n_cols*128)
+    # counts[r, l] = sum_s a[r, s] * bm[l, s]  (0/1 values, exact in f32)
+    out_ref[:, :] = jax.lax.dot_general(a, bm, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-    out_ref[:, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins_total",))
