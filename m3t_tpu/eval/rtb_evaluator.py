@@ -256,8 +256,6 @@ class RTBEvaluator:
         from m3t_tpu.depth_modality import DepthModality
         from m3t_tpu.generator import GenerateConfiguredTracker
         from m3t_tpu.ops import kinematics as kin_ops
-        from m3t_tpu.ops.depth_fn import DepthConfig
-        from m3t_tpu.ops.region_fn import RegionConfig
         from m3t_tpu.region_modality import RegionModality
 
         tracker = GenerateConfiguredTracker(config_path)
@@ -309,36 +307,104 @@ class RTBEvaluator:
         nl = max(len(opt.ReferencedLinks()) for opt in optimizers)
         if any(len(opt.ReferencedLinks()) != nl for opt in optimizers):
             raise _NotExpressible("optimizers with unequal link counts")
-        use_depth = (self.use_depth_modality and depth_tmpl is not None
-                     and all(m is not None for m in depth_modalities))
+        has_depth = [m is not None for m in depth_modalities]
+        if any(has_depth) and not all(has_depth):
+            # The host path would sum depth terms on the links that have them;
+            # the fused cycle cannot express a per-link depth subset.
+            raise _NotExpressible("depth modality on some links only")
+        use_depth = all(has_depth) and bool(has_depth) and depth_tmpl is not None
+        if use_depth and not self.use_depth_modality:
+            raise _NotExpressible(
+                "use_depth_modality=False but the config has depth modalities")
 
+        # Configured-parameter fidelity (the fused cycle applies ONE parameter
+        # set to every link; the host path is the fallback for anything else).
         rm0 = region_modalities[0]
+        for rm in region_modalities:
+            if (rm._cfg != rm0._cfg or list(rm.scales) != list(rm0.scales)
+                    or list(rm.standard_deviations)
+                    != list(rm0.standard_deviations)
+                    or rm.use_adaptive_coverage != rm0.use_adaptive_coverage
+                    or rm.reference_contour_length
+                    != rm0.reference_contour_length
+                    or rm.learning_rate_f != rm0.learning_rate_f
+                    or rm.learning_rate_b != rm0.learning_rate_b
+                    or rm.n_unoccluded_iterations
+                    != rm0.n_unoccluded_iterations):
+                raise _NotExpressible(
+                    "region modality parameters differ across links")
+            if rm.measure_occlusions:
+                raise _NotExpressible(
+                    f"modality {rm.name} measures occlusions (not supported "
+                    "by the fused kinematic cycle)")
+            if rm.model_occlusions or rm.use_region_checking:
+                raise _NotExpressible(
+                    f"modality {rm.name} uses renderers (no scene geometry "
+                    "on the fused RTB path)")
+            if rm.use_shared_color_histograms:
+                raise _NotExpressible(f"modality {rm.name} shares histograms")
+        dm0 = depth_modalities[0] if use_depth else None
+        if use_depth:
+            for dm in depth_modalities:
+                if (dm._cfg != dm0._cfg
+                        or list(dm.considered_distances)
+                        != list(dm0.considered_distances)
+                        or list(dm.standard_deviations)
+                        != list(dm0.standard_deviations)
+                        or dm.measure_occlusions != dm0.measure_occlusions
+                        or dm.n_unoccluded_iterations
+                        != dm0.n_unoccluded_iterations):
+                    raise _NotExpressible(
+                        "depth modality parameters differ across links")
+                if dm.model_occlusions or dm.use_silhouette_checking:
+                    raise _NotExpressible(
+                        f"modality {dm.name} uses renderers (no scene "
+                        "geometry on the fused RTB path)")
+            # tracking_cycle_kinematic evaluates depth in the color camera's
+            # frame with the color intrinsics.
+            di, ci = depth_tmpl.intrinsics, color_tmpl.intrinsics
+            if (di.fu, di.fv, di.ppu, di.ppv, di.width, di.height) != \
+                    (ci.fu, ci.fv, ci.ppu, ci.ppv, ci.width, ci.height):
+                raise _NotExpressible(
+                    "depth camera intrinsics differ from color camera")
+            if not np.allclose(np.asarray(depth_tmpl.world2camera_pose),
+                               np.asarray(color_tmpl.world2camera_pose),
+                               atol=1e-7):
+                raise _NotExpressible(
+                    "depth camera extrinsics differ from color camera")
+        opt0 = optimizers[0]
+        for opt in optimizers:
+            if (opt.tikhonov_parameter_rotation
+                    != opt0.tikhonov_parameter_rotation
+                    or opt.tikhonov_parameter_translation
+                    != opt0.tikhonov_parameter_translation):
+                raise _NotExpressible(
+                    "tikhonov parameters differ across optimizers")
+
         pcfg = self.pipeline_config
         if pcfg is None:
             pcfg = pipeline.PipelineConfig(
-                cfg=RegionConfig(
-                    n_lines_max=rm0.n_lines_max,
-                    function_length=rm0.function_length,
-                    distribution_length=rm0.distribution_length,
-                    function_amplitude=rm0.function_amplitude,
-                    function_slope=rm0.function_slope,
-                    learning_rate=rm0.learning_rate,
-                    n_global_iterations=rm0.n_global_iterations,
-                    min_continuous_distance=rm0.min_continuous_distance,
-                    n_histogram_bins=rm0.n_histogram_bins),
+                cfg=rm0._cfg,
                 scales=tuple(rm0.scales),
                 standard_deviations=tuple(rm0.standard_deviations),
                 n_corr_iterations=tracker.n_corr_iterations,
                 n_update_iterations=tracker.n_update_iterations,
+                tikhonov_rotation=float(opt0.tikhonov_parameter_rotation),
+                tikhonov_translation=float(opt0.tikhonov_parameter_translation),
+                learning_rate_f=float(rm0.learning_rate_f),
+                learning_rate_b=float(rm0.learning_rate_b),
+                use_adaptive_coverage=bool(rm0.use_adaptive_coverage),
+                reference_contour_length=float(rm0.reference_contour_length),
                 use_depth=use_depth)
             if use_depth:
-                dm0 = depth_modalities[0]
                 pcfg = pcfg._replace(
-                    depth_cfg=DepthConfig(n_points_max=dm0.n_points_max),
+                    depth_cfg=dm0._cfg,
                     considered_distances=tuple(dm0.considered_distances),
-                    depth_standard_deviations=tuple(dm0.standard_deviations))
+                    depth_standard_deviations=tuple(dm0.standard_deviations),
+                    depth_measure_occlusions=bool(dm0.measure_occlusions))
         pcfg = pcfg._replace(use_depth=use_depth)
         n_lines = pcfg.cfg.n_lines_max
+        n_unoccluded = dm0.n_unoccluded_iterations if use_depth else 0
 
         kin_1 = kin_ops.build_kinematic_model(optimizers, n_links=nl)
         arrays_1 = pipeline.RegionModelArrays.from_models(
@@ -457,14 +523,20 @@ class RTBEvaluator:
         while any(active):
             images, depth_images = batch_images()
             begin = time.perf_counter()
+            # Starting protocol: occlusion handling off for the first
+            # n_unoccluded_iterations after StartModalities (depth_modality
+            # warm-up, region_modality.h:442-equivalent).
+            handle_occ = jnp.asarray(frame >= n_unoccluded)
             if use_depth:
                 state = pipeline.tracking_cycle_kinematic(
-                    pcfg, intr, images, arrays, kin, state, depth_intr=intr,
+                    pcfg, intr, images, arrays, kin, state,
+                    handle_occlusions=handle_occ, depth_intr=intr,
                     depth_scale=jnp.float32(depth_tmpl.depth_scale),
                     depth_images=depth_images, depth_model=darrays)
             else:
                 state = pipeline.tracking_cycle_kinematic(
-                    pcfg, intr, images, arrays, kin, state)
+                    pcfg, intr, images, arrays, kin, state,
+                    handle_occlusions=handle_occ)
             b2c = np.asarray(pipeline.kinematic_body_poses(kin, state))
             elapsed = time.perf_counter() - begin
 
@@ -555,19 +627,12 @@ class RTBEvaluator:
             raise RuntimeError("tracker failed to set up")
 
         bodies = {b.name: b for b in tracker.body_ptrs}
-        gt_poses = {}
+        gt_poses = self._load_gt_poses(gt_dir, list(bodies))
         vertices = {}
         kdtrees = {}
         multiplier = OBJECT2SIZE_MULTIPLIER.get(object_name, 1.0)
-        for body_name, body in bodies.items():
-            path = os.path.join(gt_dir, f"{body_name}.txt")
-            if not os.path.exists(path):
-                continue
-            rows = np.loadtxt(path, dtype=np.float64).reshape(-1, 12)
-            poses = np.tile(np.eye(4, dtype=np.float32), (len(rows), 1, 1))
-            poses[:, :3, :3] = rows[:, :9].reshape(-1, 3, 3)
-            poses[:, :3, 3] = rows[:, 9:12]
-            gt_poses[body_name] = poses
+        for body_name in gt_poses:
+            body = bodies[body_name]
             v = metrics.reduce_vertices(body.triangle_vertices_f_body().reshape(-1, 3))
             vertices[body_name] = v
             kdtrees[body_name] = cKDTree(v)

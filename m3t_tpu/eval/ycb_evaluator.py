@@ -238,7 +238,11 @@ class YCBEvaluator:
             if self.use_region_modality:
                 # One RegionModality per region model (one per sub-body for
                 # multi-region variants, ycb_evaluator.cpp:427-453), all
-                # attached to the SAME body and link.
+                # attached to the SAME body and link.  reference_contour_length
+                # is wired like ycb_evaluator.cpp:438: it only takes effect if
+                # the region_modality_setter enables use_adaptive_coverage
+                # (the reference flagship sets it false,
+                # evaluate_ycb_dataset.cpp:125).
                 max_contour = max(m.max_contour_length for m in region_models)
                 for region_model in region_models:
                     modality = RegionModality(

@@ -46,21 +46,36 @@ def _dispersion(times) -> float:
     return max(times) / max(min(times), 1e-12)
 
 
+def _settled(times, dispersion_limit: float) -> bool:
+    """True when the windows agree — a SINGLE worst outlier among >= 4 windows
+    is forgiven (one transient tunnel blip must not poison the run or burn the
+    whole retry budget; persistent disagreement still fails this check)."""
+    if len(times) <= 1:
+        return True
+    if _dispersion(times) <= dispersion_limit:
+        return True
+    if len(times) >= 4:
+        trimmed = sorted(times)[:-1]
+        return _dispersion(trimmed) <= dispersion_limit
+    return False
+
+
 def measure_windows(timed_window: Callable[[], float], n_windows: int = 5,
                     max_extra: int = 5,
                     dispersion_limit: float = 2.0) -> WindowStats:
     """Run ``timed_window`` (returns elapsed seconds for a fixed amount of work)
-    ``n_windows`` times, retrying with up to ``max_extra`` additional windows while the
-    max/min window disagreement exceeds ``dispersion_limit``."""
+    ``n_windows`` times, retrying with up to ``max_extra`` additional windows while
+    the windows disagree by more than ``dispersion_limit`` (one worst outlier among
+    >= 4 windows is disregarded by the settling check, but stays in the published
+    spread)."""
     if n_windows < 1:
         raise ValueError("n_windows must be >= 1")
     times = [float(timed_window()) for _ in range(n_windows)]
     n_extra = 0
-    while (len(times) > 1 and _dispersion(times) > dispersion_limit
-           and n_extra < max_extra):
+    while not _settled(times, dispersion_limit) and n_extra < max_extra:
         times.append(float(timed_window()))
         n_extra += 1
-    unstable = len(times) > 1 and _dispersion(times) > dispersion_limit
+    unstable = not _settled(times, dispersion_limit)
     return WindowStats(median_s=statistics.median(times), min_s=min(times),
                        max_s=max(times), times=tuple(times), unstable=unstable,
                        n_extra=n_extra)

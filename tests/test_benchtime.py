@@ -22,7 +22,8 @@ def _feeder(times):
 
 def test_injected_slow_window_does_not_poison_median():
     # One 50x-pathological window among five: the median must stay at the true
-    # speed; the spread must expose the outlier; dispersion retries kick in.
+    # speed; the spread must expose the outlier; the single blip is forgiven by
+    # the settling check (no retry burn, no unstable flag).
     good = 0.1
     stats = benchtime.measure_windows(
         _feeder([good, good, 5.0, good, good, good, good, good, good, good]),
@@ -32,6 +33,7 @@ def test_injected_slow_window_does_not_poison_median():
     assert stats.rate(1.0) == pytest.approx(10.0)
     lo, hi = stats.rate_spread(1.0)
     assert lo == pytest.approx(0.2) and hi == pytest.approx(10.0)
+    assert stats.n_extra == 0 and not stats.unstable
 
 
 def test_stable_windows_no_retries():
