@@ -182,3 +182,28 @@ def test_fused_serve_falls_back_on_kinematic_tree(tmp_path):
     assert tracker._fused_backend is None
     assert np.isfinite(parent.body2world_pose).all()
     del child_pose  # geometry sanity only
+
+
+def test_fused_serve_falls_back_on_offset_depth_camera(tmp_path):
+    """A depth camera with extrinsics differing from the color camera (the
+    published OPT layout) must fall back to the host path: the fused RGB-D cycle
+    evaluates depth terms in the color camera's frame."""
+    from m3t_tpu.common import np_pose
+
+    intr = fixtures.test_intrinsics(160, 120)
+    body = fixtures.sphere_body("fso_ball", radius=0.06, n_subdiv=2)
+    model = RegionModel("fso_model", body, str(tmp_path / "m.npz"), n_divides=1,
+                        n_points=64, image_size=200)
+    dmodel = DepthModel("fso_dmodel", body, str(tmp_path / "dm.npz"),
+                        n_divides=1, n_points=64, image_size=200)
+    assert model.SetUp() and dmodel.SetUp()
+    poses, frames, depth_frames = _make_sequence(body, intr, n_frames=2,
+                                                 with_depth=True)
+    tracker, _ = _build_tracker("fso", body, intr, frames, model, True,
+                                depth_frames=depth_frames, depth_model=dmodel)
+    dcam = next(c for c in tracker.camera_ptrs
+                if isinstance(c, ImageDepthCamera))
+    dcam.set_world2camera_pose(np_pose(translation=[-0.0525, 0.0, 0.0]))
+    assert tracker.RunTrackerProcess(execute_detection=True,
+                                     start_tracking=True, max_iterations=2)
+    assert tracker._fused_backend is None
