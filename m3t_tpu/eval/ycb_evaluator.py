@@ -98,6 +98,11 @@ class YCBEvaluator:
         # object-graph parity path.
         self.use_fused_pipeline = True
         self.pipeline_config = None  # Optional m3t_tpu.pipeline.PipelineConfig
+        # Refinement evaluation (ycb_evaluator.cpp:317-345): instead of
+        # tracking, every keyframe resets the bodies to the external detector
+        # poses and scores one Refiner pass against GT (host path only).
+        self.evaluate_refinement = False
+        self.refiner_setter = lambda r: None
         # Setter hooks (evaluate_ycb_dataset.cpp:46-117)
         self.tracker_setter = lambda t: None
         self.region_modality_setter = lambda m: None
@@ -279,8 +284,10 @@ class YCBEvaluator:
     def Evaluate(self) -> dict:  # noqa: N802
         if not self.set_up:
             self.SetUp()
-        if self.use_fused_pipeline:
+        if self.use_fused_pipeline and not self.evaluate_refinement:
             return self._evaluate_fused()
+        if self.use_fused_pipeline and self.evaluate_refinement:
+            print("YCBEvaluator: refinement evaluation runs on the host path")
         all_results = {}
         for sequence_id in self.sequence_ids:
             body_names = self.sequence2body_names[sequence_id]
@@ -598,6 +605,83 @@ class YCBEvaluator:
               f"ADD-S AUC = {self.results['adds_auc']:.4f}")
         return self.results
 
+    def _refinement_loop(self, tracker, optimizers, color_camera, depth_camera,
+                         keyframes, gt_poses, detector_poses, vertices,
+                         kdtrees, results) -> dict:
+        """Refinement evaluation (ycb_evaluator.cpp:317-345): per keyframe,
+        reset every body to the external detector pose, run one Refiner pass,
+        and score the refined pose against that keyframe's GT."""
+        from m3t_tpu.refiner import Refiner
+
+        refiner = Refiner("refiner")
+        for optimizer, _ in optimizers.values():
+            refiner.AddOptimizer(optimizer)
+        self.refiner_setter(refiner)
+        if not refiner.SetUp():
+            raise RuntimeError("refiner failed to set up")
+        names = {o.name for o, _ in optimizers.values()}
+
+        for kidx, kf in enumerate(keyframes):
+            # Jump the replay cameras to the keyframe (UpdateCameras with the
+            # keyframe's index, cpp:339-345).
+            color_camera.load_index = kf
+            if not color_camera.UpdateImage():
+                break
+            if depth_camera is not None:
+                depth_camera.load_index = kf
+                if not depth_camera.UpdateImage():
+                    break
+            any_detected = False
+            for body_name, (optimizer, detector) in optimizers.items():
+                poses_det, valid = detector_poses[body_name]
+                if kidx < len(poses_det) and valid[kidx]:
+                    detector.link2world_pose = poses_det[kidx]
+                    detector.DetectPoses({optimizer.name}, set())
+                    any_detected = True
+            if not any_detected:
+                continue
+            begin = time.perf_counter()
+            if not refiner.RefinePoses(names):
+                raise RuntimeError("refiner failed")
+            elapsed = time.perf_counter() - begin
+            for body_name, (optimizer, _) in optimizers.items():
+                poses_g, valid = gt_poses[body_name]
+                if kidx >= len(poses_g) or not valid[kidx]:
+                    continue
+                body = optimizer.root_link_ptr.body_ptr
+                pose_gt = poses_g[kidx]
+                add = metrics.add_error(vertices[body_name],
+                                        body.body2world_pose, pose_gt)
+                adds = metrics.adds_error(vertices[body_name],
+                                          body.body2world_pose, pose_gt,
+                                          kdtrees[body_name])
+                r = results[body_name]
+                r["add_aucs"].append(metrics.auc_from_error(add, THRESHOLD_MAX))
+                r["adds_aucs"].append(
+                    metrics.auc_from_error(adds, THRESHOLD_MAX))
+                r["add_curve"] += metrics.error_curve(add, THRESHOLD_MAX,
+                                                      N_CURVE_VALUES)
+                r["adds_curve"] += metrics.error_curve(adds, THRESHOLD_MAX,
+                                                       N_CURVE_VALUES)
+                r["cycle_times"].append(elapsed)
+        return self._summarize_results(results)
+
+    @staticmethod
+    def _summarize_results(results) -> dict:
+        out = {}
+        for body_name, r in results.items():
+            n = max(len(r["add_aucs"]), 1)
+            out[body_name] = {
+                "add_auc": float(np.mean(r["add_aucs"])) if r["add_aucs"] else 0.0,
+                "adds_auc": float(np.mean(r["adds_aucs"])) if r["adds_aucs"] else 0.0,
+                "add_curve": (r["add_curve"] / n).tolist(),
+                "adds_curve": (r["adds_curve"] / n).tolist(),
+                "mean_cycle_time_s": float(np.mean(r["cycle_times"]))
+                if r["cycle_times"] else 0.0,
+                "n_keyframes": len(r["add_aucs"]),
+            }
+        return out
+
     def _load_poses(self, folder: str, sequence_id: int, body_name: str):
         path = os.path.join(self.external_directory, "poses", folder,
                             f"{sequence_id:04d}_{body_name}.txt")
@@ -636,6 +720,10 @@ class YCBEvaluator:
                        "add_curve": np.zeros(N_CURVE_VALUES),
                        "adds_curve": np.zeros(N_CURVE_VALUES),
                        "cycle_times": []} for n in bodies}
+        if self.evaluate_refinement:
+            return self._refinement_loop(
+                tracker, optimizers, color_camera, depth_camera, keyframes,
+                gt_poses, detector_poses, vertices, kdtrees, results)
         started = False
         frame = 0
         keyframe_idx = 0
@@ -680,16 +768,4 @@ class YCBEvaluator:
                 keyframe_idx += 1
             frame += 1
 
-        out = {}
-        for body_name, r in results.items():
-            n = max(len(r["add_aucs"]), 1)
-            out[body_name] = {
-                "add_auc": float(np.mean(r["add_aucs"])) if r["add_aucs"] else 0.0,
-                "adds_auc": float(np.mean(r["adds_aucs"])) if r["adds_aucs"] else 0.0,
-                "add_curve": (r["add_curve"] / n).tolist(),
-                "adds_curve": (r["adds_curve"] / n).tolist(),
-                "mean_cycle_time_s": float(np.mean(r["cycle_times"]))
-                if r["cycle_times"] else 0.0,
-                "n_keyframes": len(r["add_aucs"]),
-            }
-        return out
+        return self._summarize_results(results)

@@ -645,3 +645,50 @@ def test_ycb_evaluator_multi_region(tmp_path):
         assert run["n_keyframes"] == n_frames, (fused, run)
         assert run["add_auc"] > 0.85, (fused, run)
     assert abs(runs[False]["add_auc"] - runs[True]["add_auc"]) < 0.05
+
+
+@pytest.mark.slow
+def test_ycb_evaluator_refinement_mode(tmp_path):
+    """Refinement evaluation (ycb_evaluator.cpp:317-345): every keyframe resets
+    the body to the external detector pose (4 mm off GT here) and scores one
+    Refiner pass — the refined AUC must beat the raw detector AUC."""
+    from m3t_tpu.eval import metrics as eval_metrics
+    from m3t_tpu.eval.ycb_evaluator import YCBEvaluator
+
+    n_frames = 4
+    depth_scale = 0.0001
+    intr = _build_mini_ycb(tmp_path, n_frames, depth_scale)
+
+    evaluator = YCBEvaluator("ycb_refine", str(tmp_path),
+                             str(tmp_path / "external"),
+                             sequence_ids=[1], sequence2body_names={1: ["ball"]})
+    evaluator.intrinsics = intr
+    evaluator.depth_scale = depth_scale
+    evaluator.evaluate_refinement = True
+
+    def region_model_setter(m):
+        m.n_divides = 1
+        m.n_points = 100
+        m.image_size = 400
+
+    def region_modality_setter(m):
+        m.n_lines_max = 100
+        m.scales = [2, 1]
+        m.standard_deviations = [5.0, 1.5]
+
+    def depth_modality_setter(m):
+        m.n_points_max = 100
+        m.considered_distances = [0.03, 0.02]
+        m.standard_deviations = [0.05, 0.03]
+
+    evaluator.region_model_setter = region_model_setter
+    evaluator.depth_model_setter = region_model_setter
+    evaluator.region_modality_setter = region_modality_setter
+    evaluator.depth_modality_setter = depth_modality_setter
+
+    results = evaluator.Evaluate()
+    run = results["per_sequence"][1]["ball"]
+    assert run["n_keyframes"] == n_frames
+    raw_auc = eval_metrics.auc_from_error(0.004, 0.1)  # the detector offset
+    assert run["add_auc"] > raw_auc + 0.01, (run["add_auc"], raw_auc)
+    assert run["mean_cycle_time_s"] > 0.0
