@@ -20,7 +20,21 @@ def main() -> int:
     parser.add_argument("--detector", default="cosypose")
     parser.add_argument("--no-depth", action="store_true")
     parser.add_argument("--texture", action="store_true")
+    parser.add_argument("--no-multi-region", action="store_true",
+                        help="disable the multi-region body variants")
+    parser.add_argument("--refinement", action="store_true",
+                        help="evaluate detector-pose refinement instead of "
+                             "tracking (ycb_evaluator.cpp:317-345)")
     args = parser.parse_args()
+
+    # Flagship multi-region variant list (evaluate_ycb_dataset.cpp:35-44):
+    # sub-body region meshes live under <external>/multi_region/<body>/.
+    multi_region_body_names = [] if args.no_multi_region else [
+        "002_master_chef_can", "004_sugar_box", "005_tomato_soup_can",
+        "006_mustard_bottle", "007_tuna_fish_can", "008_pudding_box",
+        "009_gelatin_box", "010_potted_meat_can", "021_bleach_cleanser",
+        "037_scissors", "040_large_marker", "003_cracker_box",
+    ]
 
     sequence_ids = list(range(args.sequences[0], args.sequences[1] + 1))
     # Body lists per sequence come from the dataset's per-sequence index files;
@@ -39,9 +53,11 @@ def main() -> int:
 
     evaluator = YCBEvaluator("ycb_evaluator", args.dataset_dir, args.external_dir,
                              sequence_ids, sequence2body_names,
-                             detector_folder=args.detector)
+                             detector_folder=args.detector,
+                             multi_region_body_names=multi_region_body_names)
     evaluator.use_depth_modality = not args.no_depth
     evaluator.use_texture_modality = args.texture
+    evaluator.evaluate_refinement = args.refinement
 
     # Reference YCB configuration (evaluate_ycb_dataset.cpp:46-117).
     def region_modality_setter(modality):
