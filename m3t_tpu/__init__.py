@@ -89,6 +89,7 @@ _LAZY = {
     "NormalDepthViewer": "m3t_tpu.viewer",
     "Tracker": "m3t_tpu.tracker",
     "GenerateConfiguredTracker": "m3t_tpu.generator",
+    "FusedServeBackend": "m3t_tpu.fused_serve",
 }
 
 
