@@ -207,3 +207,75 @@ def test_fused_serve_falls_back_on_offset_depth_camera(tmp_path):
     assert tracker.RunTrackerProcess(execute_detection=True,
                                      start_tracking=True, max_iterations=2)
     assert tracker._fused_backend is None
+
+
+def test_fused_serve_backend_rebuilds_when_tracking_set_changes(tmp_path):
+    """The cached backend is keyed on the tracking optimizer set: StopTracking /
+    StartTracking transitions must rebuild it for the new set."""
+    intr = fixtures.test_intrinsics(160, 120)
+    body_a = fixtures.sphere_body("fsc_a", radius=0.06, n_subdiv=2)
+    body_b = fixtures.sphere_body("fsc_b", radius=0.05, n_subdiv=2)
+    model_a = RegionModel("fsc_ma", body_a, str(tmp_path / "a.npz"), n_divides=1,
+                          n_points=64, image_size=200)
+    model_b = RegionModel("fsc_mb", body_b, str(tmp_path / "b.npz"), n_divides=1,
+                          n_points=64, image_size=200)
+    assert model_a.SetUp() and model_b.SetUp()
+    _, frames, _ = _make_sequence(body_a, intr, n_frames=6)
+    camera = ImageColorCamera("fsc_cam", intr, frames)
+    assert camera.SetUp()
+
+    def make_opt(prefix, body, model):
+        m = RegionModality(f"{prefix}_rm", body, camera, model)
+        m.n_lines_max = 64
+        m.scales = [2, 1]
+        m.standard_deviations = [5.0, 1.5]
+        link = Link(f"{prefix}_link", body)
+        link.AddModality(m)
+        opt = Optimizer(f"{prefix}_opt", link)
+        init = np.eye(4, dtype=np.float32)
+        init[2, 3] = 0.6
+        det = StaticDetector(f"{prefix}_det", opt, link2world_pose=init)
+        return opt, det
+
+    opt_a, det_a = make_opt("fsc_a", body_a, model_a)
+    opt_b, det_b = make_opt("fsc_b", body_b, model_b)
+    tracker = Tracker("fsc_tracker", n_corr_iterations=2,
+                      n_update_iterations=1, use_fused_cycle=True)
+    tracker.AddOptimizer(opt_a)
+    tracker.AddOptimizer(opt_b)
+    tracker.AddDetector(det_a)
+    tracker.AddDetector(det_b)
+    assert tracker.SetUp()
+
+    # Track only A first.
+    tracker.ExecuteDetection(start_tracking=True,
+                             names_detecting={opt_a.name},
+                             names_starting={opt_a.name})
+    assert tracker.UpdateCameras(0)
+    assert tracker.ExecuteDetectingStep(0)
+    assert tracker.ExecuteStartingStep(0)
+    assert tracker.ExecuteTrackingStep(0)
+    backend_a = tracker._fused_backend
+    assert backend_a is not None
+    assert len(backend_a.optimizers) == 1
+
+    # Add B: the backend must rebuild for the two-optimizer set.
+    tracker.ExecuteDetection(start_tracking=True,
+                             names_detecting={opt_b.name},
+                             names_starting={opt_b.name})
+    assert tracker.UpdateCameras(1)
+    assert tracker.ExecuteDetectingStep(1)
+    assert tracker.ExecuteStartingStep(1)
+    assert tracker.ExecuteTrackingStep(1)
+    backend_ab = tracker._fused_backend
+    assert backend_ab is not None and backend_ab is not backend_a
+    assert len(backend_ab.optimizers) == 2
+
+    # Stop B again: rebuild back to one optimizer.
+    tracker.StopTracking({opt_b.name})
+    assert tracker.UpdateCameras(2)
+    assert tracker.ExecuteTrackingStep(2)
+    assert tracker._fused_backend is not None
+    assert len(tracker._fused_backend.optimizers) == 1
+    assert np.isfinite(body_a.body2world_pose).all()
+    assert np.isfinite(body_b.body2world_pose).all()
